@@ -1,0 +1,460 @@
+"""Differentiable 2DGS surfel rasterizer — TPU-native design.
+
+Replaces the reference's external CUDA `diff-surfel-rasterization` submodule
+(consumed at `nsr/gs_surfel.py:15,85-114`). The math follows the 2DGS paper
+(Huang et al. 2024): each surfel is an oriented disk; a pixel ray intersects
+the disk plane, the intersection's (u, v) in the disk frame gives the Gaussian
+response; splats composite front-to-back in depth order with alpha blending.
+
+TPU-first architecture (NOT a port of the CUDA tile/radix pipeline):
+
+  * Per-splat preprocessing is a batched dense computation (VPU-friendly).
+  * Compositing over a depth-sorted chunk of K splats is expressed with an
+    exclusive log-space cumsum (transmittance) and (P, K) @ (K, C) matmuls
+    (MXU-friendly) instead of a sequential per-splat loop.
+  * Tile binning uses XLA sort with static-shape capped per-tile lists
+    (sort by depth, stable sort by tile id → per-tile depth order), replacing
+    the CUDA global radix sort. No dynamic shapes anywhere.
+  * The whole pipeline is pure JAX and differentiable by autodiff; a Pallas
+    fused kernel with custom VJP lives in `rasterize_pallas.py` for the hot
+    512² path.
+
+Output channel semantics match `allmap` post-processing in
+`nsr/gs_surfel.py:121-142`:
+  image (3), alpha (1), depth_expected (premultiplied by alpha; divide by
+  alpha for the expected depth), depth_median (1), normal (3, VIEW space,
+  alpha-weighted & unnormalised — rotate by view R^T for world space),
+  dist (1, depth distortion).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiananything_tpu.ops.gaussians import unpack_gaussians
+from gaussiananything_tpu.utils.quaternions import quat_to_rotmat
+
+# Screen-space low-pass filter: the response is max(G_3d, G_2d) where G_2d is
+# an isotropic 2D Gaussian at the projected centre with inverse variance 2.0
+# (i.e. ~0.7px std), as in the 2DGS paper's object/screen-space filter mix.
+FILTER_INV_SQUARE = 2.0
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+NEAR_CULL = 0.2
+ZNEAR, ZFAR = 0.01, 100.0
+
+
+class SplatProj(NamedTuple):
+    """Per-view projected splat parameters (all (N, …), fp32)."""
+
+    t_x: jnp.ndarray       # (N, 3) pixel-x plane coeffs over (u, v, 1)
+    t_y: jnp.ndarray       # (N, 3) pixel-y plane coeffs
+    t_w: jnp.ndarray       # (N, 3) homogeneous-w coeffs
+    t_z: jnp.ndarray       # (N, 3) view-depth coeffs: z(u,v) = (u,v,1)·t_z
+    center_pix: jnp.ndarray  # (N, 2) projected centre in pixels
+    center_z: jnp.ndarray  # (N,) view-space centre depth (sort key)
+    opacity: jnp.ndarray   # (N,)
+    rgb: jnp.ndarray       # (N, 3)
+    normal_view: jnp.ndarray  # (N, 3) camera-facing view-space normal
+    radius_pix: jnp.ndarray   # (N,) conservative screen-space radius
+    valid: jnp.ndarray     # (N,) bool — in front of camera & non-degenerate
+
+
+def preprocess_splats(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                      cam_view_proj: jnp.ndarray, img_h: int, img_w: int,
+                      tanfov: jnp.ndarray, scale_modifier: float = 1.0
+                      ) -> SplatProj:
+    """Project N 13-channel surfels into one view.
+
+    cam_view / cam_view_proj are ROW-VECTOR transforms (x_view = x_h @ M),
+    see `render/cameras.py`.
+    """
+    g = unpack_gaussians(gaussians.astype(jnp.float32))
+    N = g.xyz.shape[0]
+    R = quat_to_rotmat(g.rotation)           # (N, 3, 3)
+    su = g.scale[:, 0] * scale_modifier
+    sv = g.scale[:, 1] * scale_modifier
+    tu = R[:, :, 0] * su[:, None]             # (N, 3) world tangent * scale
+    tv = R[:, :, 1] * sv[:, None]
+    nrm = R[:, :, 2]                          # (N, 3) world normal
+
+    # Homogeneous splat-to-world: world_h(u,v) = (u,v,1) @ Mh, Mh rows:
+    Mh = jnp.stack(
+        [
+            jnp.concatenate([tu, jnp.zeros((N, 1))], -1),
+            jnp.concatenate([tv, jnp.zeros((N, 1))], -1),
+            jnp.concatenate([g.xyz, jnp.ones((N, 1))], -1),
+        ],
+        axis=1,
+    )  # (N, 3, 4)
+
+    # Camera products in full fp32: TPU matmuls default to reduced precision,
+    # which is catastrophic for the near/far cancellations in these transforms.
+    hi = jax.lax.Precision.HIGHEST
+    T_clip = jnp.matmul(Mh, cam_view_proj, precision=hi)  # clip(u,v) = (u,v,1)·T
+    T_view = jnp.matmul(Mh, cam_view, precision=hi)       # view(u,v)
+
+    # Fold NDC→pixel into the plane coefficients. ndc2pix(v) = ((v+1)*S-1)/2.
+    w_coef = T_clip[:, :, 3]                  # (N, 3)
+    t_x = 0.5 * img_w * T_clip[:, :, 0] + (0.5 * img_w - 0.5) * w_coef
+    t_y = 0.5 * img_h * T_clip[:, :, 1] + (0.5 * img_h - 0.5) * w_coef
+    t_z = T_view[:, :, 2]                     # view depth coeffs
+
+    # Projected centre: (u,v) = (0,0) → homogeneous coords are row 2 of T.
+    cw = w_coef[:, 2]
+    safe_cw = jnp.where(jnp.abs(cw) < 1e-8, 1e-8, cw)
+    center_pix = jnp.stack([t_x[:, 2] / safe_cw, t_y[:, 2] / safe_cw], -1)
+    center_z = t_z[:, 2]
+
+    # Camera-facing normal in view space (row-vector: n_view = n @ V[:3,:3]).
+    normal_view = jnp.matmul(nrm, cam_view[:3, :3], precision=hi)
+    pos_view = jnp.matmul(
+        jnp.concatenate([g.xyz, jnp.ones((N, 1))], -1), cam_view[:, :3],
+        precision=hi)
+    facing = jnp.sum(normal_view * pos_view, -1, keepdims=True)
+    normal_view = jnp.where(facing > 0, -normal_view, normal_view)
+
+    # Conservative screen radius: 3σ disk extent projected + 2D filter radius.
+    focal_pix = img_w / (2.0 * tanfov)
+    max_s = jnp.maximum(jnp.abs(su), jnp.abs(sv))
+    radius_pix = 3.0 * max_s * focal_pix / jnp.maximum(center_z, NEAR_CULL) \
+        + jnp.sqrt(9.0 / FILTER_INV_SQUARE) + 1.0
+
+    valid = (center_z > NEAR_CULL) & (g.opacity[:, 0] > 0) \
+        & jnp.isfinite(center_pix).all(-1)
+
+    return SplatProj(
+        t_x=t_x, t_y=t_y, t_w=w_coef, t_z=t_z,
+        center_pix=center_pix, center_z=center_z,
+        opacity=g.opacity[:, 0], rgb=g.rgb, normal_view=normal_view,
+        radius_pix=radius_pix, valid=valid,
+    )
+
+
+def _splat_alpha_depth(px: jnp.ndarray, py: jnp.ndarray, sp: SplatProj
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gaussian alpha and intersection depth for P pixels × K splats.
+
+    px, py: (P,) pixel coordinates. sp fields: (K, …).
+    Returns alpha (P, K), depth (P, K).
+    """
+    # Ray-plane system: (u,v,1) · (x·t_w − t_x) = 0 and same for y.
+    k = px[:, None, None] * sp.t_w[None] - sp.t_x[None]   # (P, K, 3)
+    l = py[:, None, None] * sp.t_w[None] - sp.t_y[None]
+    p = jnp.cross(k, l)                                   # (P, K, 3)
+    denom = p[..., 2]
+    safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    u = p[..., 0] / safe
+    v = p[..., 1] / safe
+    rho3d = u * u + v * v
+
+    d2 = (px[:, None] - sp.center_pix[None, :, 0]) ** 2 \
+        + (py[:, None] - sp.center_pix[None, :, 1]) ** 2
+    rho2d = FILTER_INV_SQUARE * d2
+    use3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+
+    z_int = u * sp.t_z[None, :, 0] + v * sp.t_z[None, :, 1] + sp.t_z[None, :, 2]
+    depth = jnp.where(use3d, z_int, sp.center_z[None, :])
+
+    g = jnp.exp(-0.5 * rho)
+    alpha = jnp.minimum(sp.opacity[None, :] * g, ALPHA_MAX)
+    keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL) & sp.valid[None, :]
+    return jnp.where(keep, alpha, 0.0), jnp.where(keep, depth, 0.0)
+
+
+def _mapped_depth(z: jnp.ndarray) -> jnp.ndarray:
+    """Depth → [0,1] NDC-style map used by the distortion accumulator."""
+    z = jnp.maximum(z, ZNEAR)
+    return (ZFAR * (z - ZNEAR)) / (z * (ZFAR - ZNEAR))
+
+
+class PixelState(NamedTuple):
+    rgb: jnp.ndarray        # (P, 3)
+    trans: jnp.ndarray      # (P,) transmittance
+    alpha_acc: jnp.ndarray  # (P,)
+    depth_exp: jnp.ndarray  # (P,) Σ w·z  (premultiplied expected depth)
+    depth_med: jnp.ndarray  # (P,)
+    normal: jnp.ndarray     # (P, 3)
+    dist: jnp.ndarray       # (P,)
+    dist_d: jnp.ndarray     # (P,) Σ w·m
+    dist_d2: jnp.ndarray    # (P,) Σ w·m²
+
+
+def init_pixel_state(P: int) -> PixelState:
+    z = jnp.zeros((P,), jnp.float32)
+    return PixelState(
+        rgb=jnp.zeros((P, 3), jnp.float32), trans=jnp.ones((P,), jnp.float32),
+        alpha_acc=z, depth_exp=z, depth_med=z, normal=jnp.zeros((P, 3), jnp.float32),
+        dist=z, dist_d=z, dist_d2=z,
+    )
+
+
+def composite_chunk(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
+                    sp: SplatProj) -> PixelState:
+    """Composite a depth-sorted chunk of K splats into P pixels.
+
+    Vectorised front-to-back alpha blending: per-pixel transmittance within
+    the chunk is an exclusive cumulative product exp(cumsum(log1p(-α))); the
+    weighted accumulations are (P, K) @ (K, C) matmuls.
+    """
+    alpha, depth = _splat_alpha_depth(px, py, sp)          # (P, K)
+    log1m = jnp.log1p(-alpha)
+    cums = jnp.cumsum(log1m, axis=1)
+    t_excl = jnp.exp(cums - log1m)                         # Π_{j<i} (1-α_j)
+    # Stop compositing once transmittance dropped below T_EPS (matches the
+    # CUDA early-exit semantics exactly, not just approximately).
+    t_in = state.trans[:, None] * t_excl
+    alpha = jnp.where(t_in > T_EPS, alpha, 0.0)
+    # recompute with the pruned alphas
+    log1m = jnp.log1p(-alpha)
+    cums = jnp.cumsum(log1m, axis=1)
+    t_excl = jnp.exp(cums - log1m)
+    w = state.trans[:, None] * alpha * t_excl              # (P, K)
+
+    feats = jnp.concatenate([sp.rgb, sp.normal_view], -1)  # (K, 6)
+    acc = w @ feats                                        # (P, 6) — MXU
+    rgb = state.rgb + acc[:, 0:3]
+    normal = state.normal + acc[:, 3:6]
+    alpha_acc = state.alpha_acc + jnp.sum(w, axis=1)
+    depth_exp = state.depth_exp + jnp.sum(w * depth, axis=1)
+
+    # Median depth: first splat where post-composite transmittance ≤ 0.5.
+    t_after = state.trans[:, None] * jnp.exp(cums)
+    t_before = t_in
+    crossed = (t_before > 0.5) & (t_after <= 0.5)
+    depth_med = state.depth_med + jnp.sum(jnp.where(crossed, depth, 0.0), axis=1)
+
+    # Depth distortion (2DGS §4): L_i = w_i (m_i² A + D2 − 2 m_i D) with
+    # A/D/D2 the pre-i accumulations of w / w·m / w·m².
+    m = _mapped_depth(depth)
+    wm = w * m
+    wm2 = w * m * m
+    A_pre = state.alpha_acc[:, None] + jnp.cumsum(w, axis=1) - w
+    D_pre = state.dist_d[:, None] + jnp.cumsum(wm, axis=1) - wm
+    D2_pre = state.dist_d2[:, None] + jnp.cumsum(wm2, axis=1) - wm2
+    dist = state.dist + jnp.sum(w * (m * m * A_pre + D2_pre - 2 * m * D_pre), axis=1)
+
+    trans = state.trans * jnp.exp(cums[:, -1])
+    return PixelState(
+        rgb=rgb, trans=trans, alpha_acc=alpha_acc, depth_exp=depth_exp,
+        depth_med=depth_med, normal=normal,
+        dist=dist, dist_d=state.dist_d + jnp.sum(wm, axis=1),
+        dist_d2=state.dist_d2 + jnp.sum(wm2, axis=1),
+    )
+
+
+def _state_to_outputs(state: PixelState, bg_color: jnp.ndarray
+                      ) -> Dict[str, jnp.ndarray]:
+    rgb = state.rgb + state.trans[:, None] * bg_color[None, :]
+    return {
+        "image": rgb,
+        "alpha": state.alpha_acc,
+        "depth_expected": state.depth_exp,   # premultiplied, as allmap ch0
+        "depth_median": state.depth_med,
+        "normal_view": state.normal,
+        "dist": state.dist,
+    }
+
+
+def _take_splats(sp: SplatProj, idx: jnp.ndarray) -> SplatProj:
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=0), sp)
+
+
+def rasterize_naive(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                    cam_view_proj: jnp.ndarray, tanfov, img_h: int, img_w: int,
+                    bg_color: jnp.ndarray, chunk: int = 256,
+                    pixel_block: int = 8192) -> Dict[str, jnp.ndarray]:
+    """Correctness-oracle renderer: every splat against every pixel.
+
+    O(N·H·W) — use for tests and small scenes; `rasterize_tiled` is the
+    production path.
+    """
+    sp = preprocess_splats(gaussians, cam_view, cam_view_proj, img_h, img_w,
+                           tanfov)
+    N = gaussians.shape[0]
+    order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
+    sp = _take_splats(sp, order)
+
+    npix = img_h * img_w
+    ys, xs = jnp.meshgrid(jnp.arange(img_h, dtype=jnp.float32),
+                          jnp.arange(img_w, dtype=jnp.float32), indexing="ij")
+    px_all = xs.reshape(-1)
+    py_all = ys.reshape(-1)
+
+    pad = (-N) % chunk
+    if pad:
+        sp = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0), sp)
+        sp = sp._replace(valid=sp.valid.at[N:].set(False))
+    n_chunks = sp.t_x.shape[0] // chunk
+
+    def render_block(px, py):
+        state = init_pixel_state(px.shape[0])
+
+        def body(st, i):
+            spc = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk, 0), sp)
+            return composite_chunk(st, px, py, spc), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(n_chunks))
+        return _state_to_outputs(state, bg_color)
+
+    assert npix % pixel_block == 0 or npix < pixel_block
+    pb = min(pixel_block, npix)
+    out = jax.lax.map(
+        lambda i: render_block(
+            jax.lax.dynamic_slice_in_dim(px_all, i * pb, pb, 0),
+            jax.lax.dynamic_slice_in_dim(py_all, i * pb, pb, 0)),
+        jnp.arange(npix // pb))
+    out = jax.tree.map(lambda a: a.reshape((npix,) + a.shape[2:]), out)
+    return {k: v.reshape((img_h, img_w) + v.shape[1:]) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tiled production path: XLA sort-based binning + capped per-tile lists.
+# ---------------------------------------------------------------------------
+
+def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
+                     max_per_tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bin splats into per-tile depth-sorted index lists (static shapes).
+
+    Strategy: sort splats by depth once; emit (tile_id, splat) pairs for every
+    tile in each splat's conservative bbox (cap `max_span` tiles per splat);
+    stable-sort pairs by tile id — stability preserves depth order within a
+    tile, reproducing the CUDA (tile, depth) radix sort. Overflow beyond
+    max_per_tile is dropped farthest-first (graceful degradation).
+
+    Returns (tiles_y*tiles_x, max_per_tile) splat indices with -1 padding,
+    and the per-tile counts.
+    """
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    N = sp.center_z.shape[0]
+
+    order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
+    cx = jnp.take(sp.center_pix[:, 0], order)
+    cy = jnp.take(sp.center_pix[:, 1], order)
+    r = jnp.take(sp.radius_pix, order)
+    valid = jnp.take(sp.valid, order)
+
+    tx0 = jnp.clip(jnp.floor((cx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor((cx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor((cy - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor((cy + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
+    on_screen = (cx + r >= 0) & (cx - r < img_w) & (cy + r >= 0) & (cy - r < img_h)
+    valid = valid & on_screen
+
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    # Cap the per-splat tile footprint; a splat wider than max_span tiles is
+    # truncated (graceful degradation, hit only by degenerate huge splats).
+    max_span = min(64, n_tiles)
+
+    # Emit pairs: for slot s in [0, max_span): tile offset (s % span_x, s // span_x)
+    slots = jnp.arange(max_span, dtype=jnp.int32)
+    off_x = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
+    off_y = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
+    pair_tile = (ty0[:, None] + off_y) * tiles_x + (tx0[:, None] + off_x)
+    pair_ok = valid[:, None] & (slots[None, :] < (span_x * span_y)[:, None]) \
+        & (off_y < span_y[:, None])
+    pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)      # sentinel bucket
+
+    # Pairs are generated splat-major in depth order; stable sort by tile id.
+    flat_tile = pair_tile.reshape(-1)
+    flat_splat = jnp.broadcast_to(order[:, None], (N, max_span)).reshape(-1)
+    sort_idx = jnp.argsort(flat_tile, stable=True)
+    s_tile = jnp.take(flat_tile, sort_idx)
+    s_splat = jnp.take(flat_splat, sort_idx)
+
+    # Per-tile offsets & counts via searchsorted on the sorted tile ids.
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(s_tile, tile_ids, side="left")
+    ends = jnp.searchsorted(s_tile, tile_ids, side="right")
+    counts = jnp.minimum(ends - starts, max_per_tile)
+
+    j = jnp.arange(max_per_tile, dtype=jnp.int32)
+    gather_idx = starts[:, None] + j[None, :]
+    in_range = j[None, :] < counts[:, None]
+    gather_idx = jnp.where(in_range, gather_idx, 0)
+    lists = jnp.where(in_range, jnp.take(s_splat, gather_idx), -1)
+    return lists, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "tile_group"))
+def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                    cam_view_proj: jnp.ndarray, tanfov,
+                    bg_color: jnp.ndarray, img_h: int, img_w: int,
+                    tile: int = 16, max_per_tile: int = 1024,
+                    chunk: int = 256, tile_group: int = 32
+                    ) -> Dict[str, jnp.ndarray]:
+    """Production renderer: one view, N splats, (img_h, img_w) output.
+
+    Differentiable via autodiff (binning indices are non-differentiable ints;
+    all value paths flow through gathers). Returns the dict of
+    `_state_to_outputs` reshaped to (H, W, C).
+    """
+    assert img_h % tile == 0 and img_w % tile == 0
+    sp = preprocess_splats(gaussians, cam_view, cam_view_proj, img_h, img_w,
+                           tanfov)
+    lists, _counts = build_tile_lists(
+        jax.tree.map(jax.lax.stop_gradient, sp), img_h, img_w, tile,
+        max_per_tile)
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+
+    # Pixel coords per tile (static): (tile*tile,) offsets + per-tile origin.
+    yy, xx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
+                          jnp.arange(tile, dtype=jnp.float32), indexing="ij")
+    local_x = xx.reshape(-1)
+    local_y = yy.reshape(-1)
+
+    # Pad splat axis with one dummy so index -1 gathers a dead splat.
+    sp_pad = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0), sp)
+    sp_pad = sp_pad._replace(valid=sp_pad.valid.at[-1].set(False))
+
+    n_chunks = max_per_tile // chunk
+    assert max_per_tile % chunk == 0
+
+    def render_tile(tile_idx: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        ty = (tile_idx // tiles_x).astype(jnp.float32)
+        tx = (tile_idx % tiles_x).astype(jnp.float32)
+        px = local_x + tx * tile
+        py = local_y + ty * tile
+        idx_row = lists[tile_idx]                     # (max_per_tile,)
+
+        state = init_pixel_state(tile * tile)
+
+        def body(st, c):
+            ids = jax.lax.dynamic_slice_in_dim(idx_row, c * chunk, chunk, 0)
+            spc = _take_splats(sp_pad, ids)           # -1 wraps to dummy
+            return composite_chunk(st, px, py, spc), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(n_chunks))
+        return _state_to_outputs(state, bg_color)
+
+    assert n_tiles % tile_group == 0
+    out = jax.lax.map(
+        lambda g: jax.vmap(render_tile)(
+            g * tile_group + jnp.arange(tile_group)),
+        jnp.arange(n_tiles // tile_group))
+    # out leaves: (groups, tile_group, tile*tile, C…) → (H, W, C…)
+    def detile(a):
+        c_shape = a.shape[3:]
+        a = a.reshape(tiles_y, tiles_x, tile, tile, *c_shape)
+        a = jnp.moveaxis(a, 2, 1)  # (ty, tile_h, tx, tile_w, C)
+        return a.reshape(img_h, img_w, *c_shape)
+
+    return jax.tree.map(detile, out)
