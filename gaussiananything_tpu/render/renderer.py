@@ -1,0 +1,86 @@
+"""Batched multi-view 2DGS renderer.
+
+API parity with `GaussianRenderer2DGS.render` (`nsr/gs_surfel.py:41,195-202`)
+but with the B×V python loop replaced by `jax.vmap` over views and batch —
+one fused XLA program renders all views.
+
+Returns channel-first maps:
+  image (B,V,3,H,W) in [0,1], alpha (B,V,1,H,W), depth (median, B,V,1,H,W),
+  rend_normal (world-space, B,V,3,H,W), dist (B,V,1,H,W),
+  depth_expected (B,V,1,H,W).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussiananything_tpu.ops import rasterize as rz
+
+
+class GaussianRenderer2DGS:
+    """Stateless config holder mirroring the reference class."""
+
+    def __init__(self, output_size: int = 512, tile: int = 16,
+                 max_per_tile: int = 1024, chunk: int = 256,
+                 tile_group: int = 32,
+                 bg_color=(1.0, 1.0, 1.0)):
+        self.output_size = output_size
+        self.tile = tile
+        self.max_per_tile = max_per_tile
+        self.chunk = chunk
+        self.tile_group = tile_group
+        self.bg_color = jnp.asarray(bg_color, jnp.float32)
+
+    def render(self, gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+               cam_view_proj: jnp.ndarray, cam_pos: jnp.ndarray,
+               tanfov: jnp.ndarray, bg_color: Optional[jnp.ndarray] = None,
+               output_size: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+        """gaussians (B,N,13); cam_view/cam_view_proj (B,V,4,4);
+        cam_pos (B,V,3); tanfov scalar or (B,V)."""
+        out_size = output_size or self.output_size
+        bg = self.bg_color if bg_color is None else jnp.asarray(bg_color)
+        B, V = cam_view.shape[:2]
+        tanfov = jnp.broadcast_to(jnp.asarray(tanfov, jnp.float32), (B, V))
+        if bg.ndim == 1:
+            bg = jnp.broadcast_to(bg, (B, V, 3))
+        return render_multiview(
+            gaussians, cam_view, cam_view_proj, tanfov, bg, out_size,
+            self.tile, self.max_per_tile, self.chunk, self.tile_group)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "tile", "max_per_tile", "chunk",
+                     "tile_group"))
+def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
+                     out_size: int, tile: int, max_per_tile: int, chunk: int,
+                     tile_group: int) -> Dict[str, jnp.ndarray]:
+    def one_view(g, cv, cvp, tf, bgc):
+        out = rz.rasterize_tiled(
+            g, cv, cvp, tf, bgc, out_size, out_size, tile=tile,
+            max_per_tile=max_per_tile, chunk=chunk, tile_group=tile_group)
+        # world-space normal: row-vector view → world rotation is cv[:3,:3]
+        # applied inverse ⇒ n_world = n_view @ cv[:3,:3].T  (parity with
+        # `nsr/gs_surfel.py:128`, which right-multiplies by view_matrix[:3,:3].T).
+        n_world = jnp.matmul(out["normal_view"], cv[:3, :3].T,
+                             precision=jax.lax.Precision.HIGHEST)
+        alpha = out["alpha"][..., None]
+        depth_exp = out["depth_expected"][..., None] / jnp.maximum(alpha, 1e-10)
+        depth_exp = jnp.where(alpha > 1e-6, depth_exp, 0.0)
+        return {
+            "image": jnp.clip(out["image"], 0.0, 1.0),
+            "alpha": alpha,
+            "depth": out["depth_median"][..., None],
+            "depth_expected": depth_exp,
+            "rend_normal": n_world,
+            "dist": out["dist"][..., None],
+        }
+
+    # vmap over views (gaussians shared), then over batch.
+    per_batch = jax.vmap(one_view, in_axes=(None, 0, 0, 0, 0))
+    out = jax.vmap(per_batch)(gaussians, cam_view, cam_view_proj, tanfov, bg)
+    # (B,V,H,W,C) → channel-first (B,V,C,H,W) for reference-parity consumers.
+    return {k: jnp.moveaxis(v, -1, 2) for k, v in out.items()}
