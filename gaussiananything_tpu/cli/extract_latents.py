@@ -1,0 +1,88 @@
+"""Extract diffusion-training latents with a trained VAE.
+
+Parity with `scripts/save_pcd.py` + the VAE trainer's
+`eval_novelview_loop(save_latent=True)` (`nsr/train_nv_util.py:2693`): runs
+the encoder over the dataset and writes one npz per instance with
+  latent_normalized (K, z)  — KL sample
+  query_pcd_xyz    (K, 3)   — FPS anchors (world units)
+  cond             (3, H, W) — a conditioning view render
+mirroring the reference latent.npz schema
+(`datasets/g_buffer_objaverse.py:3661-3687`).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=False, default=None,
+                   help="VAE checkpoint dir (omit for random-init demo)")
+    p.add_argument("--preset", default="demo-e2e")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num", type=int, default=32)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiananything_tpu.config import preset
+    from gaussiananything_tpu.data.synthetic import make_batch
+    from gaussiananything_tpu.models.vae import PointVAE
+    from gaussiananything_tpu.train.fm_trainer import XYZ_SCALE
+    from gaussiananything_tpu.train.state import (TrainState,
+                                                  TrainStateConfig,
+                                                  make_optimizer,
+                                                  restore_checkpoint)
+
+    cfg = preset(args.preset)
+    model = PointVAE(
+        latent_num=cfg.vae.latent_num, z_channels=cfg.vae.z_channels,
+        encoder_width=cfg.vae.encoder_width,
+        decoder_width=cfg.vae.decoder_width,
+        decoder_depth=cfg.vae.decoder_depth,
+        decoder_heads=cfg.vae.decoder_heads,
+        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths)
+
+    rng = jax.random.PRNGKey(0)
+    b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
+                    n_views_sup=1, res=cfg.data.resolution,
+                    n_pts=cfg.data.n_points, n_splats=512)
+    params = model.init(rng, b0["images_in"], b0["pcd"], rng)
+    if args.ckpt:
+        tx = make_optimizer(TrainStateConfig())
+        state = restore_checkpoint(args.ckpt, TrainState.create(params, tx))
+        params = state.ema_params
+
+    os.makedirs(args.out, exist_ok=True)
+
+    @jax.jit
+    def encode(imgs, pcd, key):
+        dist, anchors = model.apply(params, imgs, pcd,
+                                    method=model.encode)
+        return dist.sample(key), anchors
+
+    for i in range(args.num):
+        b = make_batch(seed=1000 + i, batch=1,
+                       n_views_in=cfg.data.n_views_in, n_views_sup=1,
+                       res=cfg.data.resolution, n_pts=cfg.data.n_points,
+                       n_splats=512)
+        z, anchors = encode(b["images_in"], b["pcd"],
+                            jax.random.fold_in(rng, i))
+        cond = jax.image.resize(
+            b["images_sup"][0, 0], (3, cfg.dit.cond_img_size,
+                                    cfg.dit.cond_img_size), "bilinear")
+        np.savez(os.path.join(args.out, f"{i:05d}.npz"),
+                 latent_normalized=np.asarray(z[0]),
+                 query_pcd_xyz=np.asarray(anchors[0]),
+                 cond=np.asarray(cond))
+    print(f"wrote {args.num} latents to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Cascaded image-to-3D / text-to-3D sampling.
+
+Parity with `scripts/vit_triplane_sit_sample.py` driving
+`FlowMatchingEngine_gs.eval_i23d_and_export` (SURVEY.md §3.1-3.2):
+  stage-1: image/text → 768×3 point cloud → .ply/.glb
+  stage-2: + KL latent → VAE decode → 4-LoD gaussians → turntable renders
+           (+ gaussian ply, optional TSDF mesh obj).
+
+    python -m gaussiananything_tpu.cli.sample --preset demo-e2e \
+        --stage1-ckpt ... --out samples/
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="demo-e2e")
+    p.add_argument("--stage1-ckpt", default=None)
+    p.add_argument("--stage1-cond-ckpt", default=None)
+    p.add_argument("--stage2-ckpt", default=None)
+    p.add_argument("--stage2-cond-ckpt", default=None)
+    p.add_argument("--vae-ckpt", default=None)
+    p.add_argument("--out", default="samples")
+    p.add_argument("--num", type=int, default=1)
+    p.add_argument("--cfg-scale", type=float, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--mesh", action="store_true", help="TSDF mesh export")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiananything_tpu.config import preset
+    from gaussiananything_tpu.data.synthetic import (make_object,
+                                                     render_scene_views)
+    from gaussiananything_tpu.models.conditioner import ImageConditioner
+    from gaussiananything_tpu.models.dit import stage1_dit, stage2_dit
+    from gaussiananything_tpu.models.vae import PointVAE
+    from gaussiananything_tpu.render import cameras
+    from gaussiananything_tpu.render.ply_io import (save_pointcloud_glb,
+                                                    save_pointcloud_ply)
+    from gaussiananything_tpu.render.renderer import render_multiview
+    from gaussiananything_tpu.train.fm_trainer import (FMConfig, XYZ_SCALE,
+                                                       make_sampler)
+    from gaussiananything_tpu.train.state import (TrainState,
+                                                  TrainStateConfig,
+                                                  make_optimizer,
+                                                  restore_checkpoint)
+
+    cfg = preset(args.preset)
+    os.makedirs(args.out, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+    tx = make_optimizer(TrainStateConfig())
+
+    dit1 = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
+                      vector_dim=cfg.dit.cond_width)
+    cond = ImageConditioner(width=cfg.dit.cond_width,
+                            depth=cfg.dit.cond_depth,
+                            heads=cfg.dit.cond_heads,
+                            img_size=cfg.dit.cond_img_size)
+
+    # conditioning image: procedural object render (demo) — replace with a
+    # real photo folder for production use
+    demo_obj = make_object(7, n=512)
+    pose = cameras.generate_input_camera(1.8, [(20, 30)])
+    cond_img = render_scene_views(demo_obj, pose,
+                                  cfg.dit.cond_img_size)["image"][:1]
+
+    K = cfg.vae.latent_num
+    c_init = None
+    x0 = jnp.zeros((1, K, 3))
+    cond_params = cond.init(rng, cond_img)
+    dit1_params = dit1.init(rng, x0, jnp.zeros((1,)),
+                            cond.apply(cond_params, cond_img).crossattn,
+                            cond.apply(cond_params, cond_img).vector)
+    del c_init
+
+    def _restore(ckpt, params):
+        if not ckpt:
+            return params
+        st = restore_checkpoint(ckpt, TrainState.create(params, tx))
+        return st.ema_params
+
+    dit1_params = _restore(args.stage1_ckpt, dit1_params)
+    cond_params = _restore(args.stage1_cond_ckpt, cond_params)
+
+    fm1 = FMConfig(stage=1,
+                   cfg_scale=args.cfg_scale or cfg.transport.cfg_scale,
+                   num_steps=args.steps or cfg.transport.num_steps,
+                   sampler=cfg.transport.sampler)
+    sampler1 = make_sampler(dit1, cond, fm1, latent_shape=(K, 3))
+
+    for i in range(args.num):
+        key = jax.random.fold_in(rng, i)
+        xyz_n = sampler1(dit1_params, cond_params, cond_img, key)
+        xyz = np.asarray(xyz_n[0]) * XYZ_SCALE
+        save_pointcloud_ply(os.path.join(args.out, f"stage1_{i}.ply"), xyz)
+        save_pointcloud_glb(os.path.join(args.out, f"stage1_{i}.glb"), xyz)
+        print(f"[{i}] stage-1 point cloud: {xyz.shape} "
+              f"range {xyz.min():.3f}..{xyz.max():.3f}")
+
+        if args.stage2_ckpt or args.vae_ckpt:
+            dit2 = stage2_dit(cfg.dit.size, z_channels=cfg.vae.z_channels,
+                              cond_dim=cfg.dit.cond_width,
+                              vector_dim=cfg.dit.cond_width)
+            z0 = jnp.zeros((1, K, cfg.vae.z_channels))
+            dit2_params = dit2.init(
+                rng, z0, jnp.zeros((1,)),
+                cond.apply(cond_params, cond_img).crossattn,
+                cond.apply(cond_params, cond_img).vector,
+                jnp.asarray(xyz)[None])
+            dit2_params = _restore(args.stage2_ckpt, dit2_params)
+            fm2 = FMConfig(stage=2, cfg_scale=fm1.cfg_scale,
+                           num_steps=fm1.num_steps, sampler=fm1.sampler)
+            sampler2 = make_sampler(dit2, cond, fm2,
+                                    latent_shape=(K, cfg.vae.z_channels))
+            kl = sampler2(dit2_params, cond_params, cond_img, key,
+                          xyz=jnp.asarray(xyz)[None])
+
+            vae = PointVAE(
+                latent_num=K, z_channels=cfg.vae.z_channels,
+                encoder_width=cfg.vae.encoder_width,
+                decoder_width=cfg.vae.decoder_width,
+                decoder_depth=cfg.vae.decoder_depth,
+                decoder_heads=cfg.vae.decoder_heads,
+                up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths)
+            from gaussiananything_tpu.data.synthetic import make_batch
+            b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
+                            n_views_sup=1, res=cfg.data.resolution,
+                            n_pts=cfg.data.n_points, n_splats=512)
+            vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
+            vae_params = _restore(args.vae_ckpt, vae_params)
+            lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
+                             method=vae.decode)
+            fin = lods[-1]
+            from gaussiananything_tpu.render.ply_io import save_2dgs_ply
+            save_2dgs_ply(os.path.join(args.out, f"gaussians_{i}.ply"),
+                          np.asarray(fin[0]))
+            # turntable render
+            sweep = cameras.uni_mesh_path(8)[:8]
+            cam = cameras.pose_to_gs_camera(jnp.asarray(sweep))
+            out = render_multiview(
+                fin, cam["cam_view"][None], cam["cam_view_proj"][None],
+                jnp.broadcast_to(cam["tanfov"][None], (1, 8)),
+                jnp.ones((1, 8, 3)), cfg.render.output_size,
+                tile=16, max_per_tile=cfg.render.max_per_tile,
+                chunk=cfg.render.chunk, tile_group=16)
+            from PIL import Image
+            strip = np.concatenate(
+                [np.moveaxis(np.asarray(v), 0, -1)
+                 for v in np.asarray(out["image"][0])], axis=1)
+            Image.fromarray((np.clip(strip, 0, 1) * 255).astype(np.uint8)
+                            ).save(os.path.join(args.out, f"turntable_{i}.png"))
+            if args.mesh:
+                from gaussiananything_tpu.render.tsdf import \
+                    export_mesh_from_gaussians
+                export_mesh_from_gaussians(
+                    os.path.join(args.out, f"mesh_{i}.glb"), fin[0],
+                    resolution=cfg.render.output_size // 2)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Flow-matching (diffusion) training entry point.
+
+Replaces `scripts/vit_triplane_sit_train.py` + the release shells
+(`shell_scripts/release/train/stage-2-diffusion/*.sh`). Trains on
+pre-extracted latents (`--latent-dir` from cli.extract_latents) or, for the
+synthetic demo, derives latents from GT objects on the fly.
+
+    python -m gaussiananything_tpu.cli.train_flow --preset demo-e2e \
+        --stage 1 --steps 200
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="demo-e2e")
+    p.add_argument("--config", default=None)
+    p.add_argument("--stage", type=int, default=1)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--logdir", default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--latent-dir", default=None,
+                   help="npz latents from extract_latents")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--save-every", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiananything_tpu.config import RunConfig, preset
+    from gaussiananything_tpu.diffusion.transport import create_transport
+    from gaussiananything_tpu.models.conditioner import (ImageConditioner,
+                                                         TextConditioner)
+    from gaussiananything_tpu.models.dit import stage1_dit, stage2_dit
+    from gaussiananything_tpu.parallel.mesh import (make_mesh, replicate,
+                                                    shard_batch)
+    from gaussiananything_tpu.train.fm_trainer import (FMConfig, XYZ_SCALE,
+                                                       make_fm_train_step)
+    from gaussiananything_tpu.train.logging import MetricLogger
+    from gaussiananything_tpu.train.state import (TrainState,
+                                                  TrainStateConfig,
+                                                  make_optimizer,
+                                                  save_checkpoint)
+
+    cfg = (RunConfig.from_json(open(args.config).read()) if args.config
+           else preset(args.preset))
+    cfg.dit.stage = args.stage
+    if args.steps:
+        cfg.optim.total_steps = args.steps
+    if args.batch:
+        cfg.optim.batch_size = args.batch
+    logdir = args.logdir or os.path.join(cfg.logdir,
+                                         f"{cfg.name}-flow-s{args.stage}")
+    logger = MetricLogger(logdir)
+    with open(os.path.join(logdir, "args.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    mk = stage1_dit if args.stage == 1 else stage2_dit
+    dit_kw = dict(size=cfg.dit.size, cond_dim=cfg.dit.cond_width,
+                  vector_dim=cfg.dit.cond_width)
+    if args.stage == 2:
+        dit_kw["z_channels"] = cfg.vae.z_channels
+    dit = mk(**dit_kw)
+    if cfg.dit.cond == "image":
+        cond = ImageConditioner(width=cfg.dit.cond_width,
+                                depth=cfg.dit.cond_depth,
+                                heads=cfg.dit.cond_heads,
+                                img_size=cfg.dit.cond_img_size,
+                                ucg_rate=cfg.dit.ucg_rate)
+    else:
+        cond = TextConditioner(width=cfg.dit.cond_width,
+                               depth=cfg.dit.cond_depth,
+                               heads=cfg.dit.cond_heads,
+                               ucg_rate=cfg.dit.ucg_rate)
+
+    in_ch = 3 if args.stage == 1 else cfg.vae.z_channels
+    K = cfg.vae.latent_num
+
+    # ---------------------------------------------------------------- data
+    if args.latent_dir:
+        files = sorted(glob.glob(os.path.join(args.latent_dir, "*.npz")))
+        assert files, f"no npz latents in {args.latent_dir}"
+        arrs = [np.load(f) for f in files]
+
+        def data_iter(rng_np):
+            while True:
+                idx = rng_np.integers(0, len(arrs), cfg.optim.batch_size)
+                lat = np.stack([arrs[i]["latent_normalized"] for i in idx])
+                xyz = np.stack([arrs[i]["query_pcd_xyz"] for i in idx])
+                condb = np.stack([arrs[i]["cond"] for i in idx])
+                b = {"cond": jnp.asarray(condb)}
+                if args.stage == 1:
+                    b["latent"] = jnp.asarray(xyz) / XYZ_SCALE
+                else:
+                    b["latent"] = jnp.asarray(lat)
+                    b["xyz"] = jnp.asarray(xyz)
+                yield b
+    else:
+        # synthetic: stage-1 latent = FPS xyz of procedural objects;
+        # cond = a rendered view of the object.
+        from gaussiananything_tpu.data.synthetic import (make_object,
+                                                         render_scene_views)
+        from gaussiananything_tpu.ops.fps import sample_farthest_points
+        from gaussiananything_tpu.render import cameras
+
+        def data_iter(rng_np):
+            s = 0
+            while True:
+                lats, conds = [], []
+                for b in range(cfg.optim.batch_size):
+                    g = make_object(int(rng_np.integers(1 << 30)), n=512)
+                    anchors, _ = sample_farthest_points(g[None, :, :3], K)
+                    pose = cameras.generate_input_camera(
+                        1.8, [(rng_np.uniform(-30, 60),
+                               rng_np.uniform(0, 360))])
+                    v = render_scene_views(g, pose, cfg.dit.cond_img_size)
+                    lats.append(anchors[0])
+                    conds.append(v["image"][0])
+                b = {"cond": jnp.stack(conds),
+                     "latent": jnp.stack(lats) / XYZ_SCALE}
+                if args.stage == 2:
+                    b["xyz"] = b["latent"] * XYZ_SCALE
+                    b["latent"] = jnp.zeros((cfg.optim.batch_size, K, in_ch))
+                yield b
+                s += 1
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng_np = np.random.default_rng(cfg.seed)
+    it = data_iter(rng_np)
+    batch0 = next(it)
+
+    cond_params = cond.init(rng, batch0["cond"])
+    c0 = cond.apply(cond_params, batch0["cond"])
+    init_kw = {"xyz": batch0["xyz"]} if args.stage == 2 else {}
+    dit_params = dit.init(rng, batch0["latent"],
+                          jnp.zeros((cfg.optim.batch_size,)),
+                          c0.crossattn, c0.vector, **init_kw)
+    n_params = sum(x.size for x in jax.tree.leaves(dit_params))
+    print(f"DiT params: {n_params/1e6:.2f}M")
+
+    import math
+    dp = cfg.mesh_data or math.gcd(cfg.optim.batch_size, jax.device_count()
+                                   // cfg.mesh_tile)
+    mesh = make_mesh(data=dp, tile=cfg.mesh_tile,
+                     devices=jax.devices()[: dp * cfg.mesh_tile])
+    transport = create_transport(cfg.transport.path_type,
+                                 cfg.transport.t_sampler)
+    fm_cfg = FMConfig(stage=args.stage, cfg_scale=cfg.transport.cfg_scale,
+                      num_steps=cfg.transport.num_steps,
+                      sampler=cfg.transport.sampler)
+    tx_cfg = TrainStateConfig(lr=cfg.optim.lr,
+                              warmup_steps=cfg.optim.warmup_steps,
+                              grad_clip=cfg.optim.grad_clip)
+    step_fn = make_fm_train_step(dit, cond, transport, fm_cfg, tx_cfg)
+    tx = make_optimizer(tx_cfg)
+    state = TrainState.create(replicate(mesh, dit_params), tx)
+    cstate = TrainState.create(replicate(mesh, cond_params), tx)
+
+    for i in range(cfg.optim.total_steps):
+        batch = shard_batch(mesh, next(it))
+        state, cstate, logs = step_fn(state, cstate, batch,
+                                      jax.random.fold_in(rng, i))
+        for k, v in logs.items():
+            logger.logkv_mean(k, float(v))
+        if (i + 1) % 20 == 0 or i == 0:
+            logger.dumpkvs(i + 1)
+        if (i + 1) % args.save_every == 0:
+            save_checkpoint(os.path.join(logdir, "ckpt"), state)
+            save_checkpoint(os.path.join(logdir, "ckpt_cond"), cstate)
+    save_checkpoint(os.path.join(logdir, "ckpt"), state)
+    save_checkpoint(os.path.join(logdir, "ckpt_cond"), cstate)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""VAE training entry point.
+
+Replaces `torchrun scripts/vit_triplane_train.py` + the 200-flag shell
+(`shell_scripts/release/train/stage-1-vae3d/vae3d-adv-512.sh`):
+
+    python -m gaussiananything_tpu.cli.train_vae --preset vae-small \
+        --steps 200 --logdir logs/vae
+
+No torchrun / NCCL: the jitted step is compiled over the device mesh; run the
+same command on every host for multi-host.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="vae-small")
+    p.add_argument("--config", default=None, help="RunConfig json path")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--logdir", default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--adv", action="store_true", help="enable PatchGAN")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--platform", default=None, help="cpu to force CPU")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from gaussiananything_tpu.config import RunConfig, preset
+    from gaussiananything_tpu.data.synthetic import make_batch
+    from gaussiananything_tpu.models.vae import PointVAE
+    from gaussiananything_tpu.parallel.mesh import (make_mesh, replicate,
+                                                    shard_batch)
+    from gaussiananything_tpu.train.logging import MetricLogger
+    from gaussiananything_tpu.train.losses import PatchDiscriminator
+    from gaussiananything_tpu.train.state import (TrainState,
+                                                  TrainStateConfig,
+                                                  make_optimizer,
+                                                  restore_checkpoint,
+                                                  save_checkpoint)
+    from gaussiananything_tpu.train.vae_trainer import (VAELossConfig,
+                                                        make_disc_step,
+                                                        make_train_step)
+
+    cfg = (RunConfig.from_json(open(args.config).read()) if args.config
+           else preset(args.preset))
+    if args.steps:
+        cfg.optim.total_steps = args.steps
+    if args.batch:
+        cfg.optim.batch_size = args.batch
+    logdir = args.logdir or os.path.join(cfg.logdir, cfg.name)
+    logger = MetricLogger(logdir)
+    with open(os.path.join(logdir, "args.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    model = PointVAE(
+        latent_num=cfg.vae.latent_num, z_channels=cfg.vae.z_channels,
+        encoder_width=cfg.vae.encoder_width,
+        decoder_width=cfg.vae.decoder_width,
+        decoder_depth=cfg.vae.decoder_depth,
+        decoder_heads=cfg.vae.decoder_heads,
+        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
+        skip_weight=cfg.vae.skip_weight)
+
+    def data_iter(seed0: int):
+        s = seed0
+        while True:
+            b = make_batch(seed=s, batch=cfg.optim.batch_size,
+                           n_views_in=cfg.data.n_views_in,
+                           n_views_sup=cfg.data.n_views_sup,
+                           res=cfg.data.resolution,
+                           n_pts=cfg.data.n_points,
+                           n_splats=max(512, cfg.data.n_points))
+            b.pop("gt_gaussians", None)
+            yield b
+            s += 1
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    it = data_iter(cfg.seed)
+    batch0 = next(it)
+    tanfov = batch0.pop("tanfov")
+    params = model.init(rng, batch0["images_in"][:1], batch0["pcd"][:1], rng)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"VAE params: {n_params/1e6:.2f}M; devices: {jax.devices()}")
+
+    import math
+    dp = cfg.mesh_data or math.gcd(cfg.optim.batch_size, jax.device_count()
+                                   // cfg.mesh_tile)
+    mesh = make_mesh(data=dp, tile=cfg.mesh_tile,
+                     devices=jax.devices()[: dp * cfg.mesh_tile])
+    params = replicate(mesh, params)
+
+    loss_cfg = VAELossConfig(
+        lod_resolutions=cfg.render.lod_resolutions,
+        adv_weight=0.05 if args.adv else 0.0)
+    tx_cfg = TrainStateConfig(lr=cfg.optim.lr,
+                              weight_decay=cfg.optim.weight_decay,
+                              grad_clip=cfg.optim.grad_clip,
+                              ema_decay=cfg.optim.ema_decay,
+                              warmup_steps=cfg.optim.warmup_steps)
+    disc = PatchDiscriminator() if args.adv else None
+    step_fn = make_train_step(model, loss_cfg, tx_cfg, disc_model=disc)
+    tx = make_optimizer(tx_cfg)
+    state = TrainState.create(params, tx)
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    dstate = None
+    dstep_fn = None
+    if args.adv:
+        dp = disc.init(rng, jnp.zeros(
+            (1, 3, loss_cfg.lod_resolutions[-1],
+             loss_cfg.lod_resolutions[-1])))
+        dstate = TrainState.create(replicate(mesh, dp), tx)
+        dstep_fn = make_disc_step(model, disc, loss_cfg, tx_cfg)
+
+    import time
+    t0 = time.time()
+    for i in range(int(state.step), cfg.optim.total_steps):
+        batch = next(it)
+        batch.pop("tanfov")
+        sharded = shard_batch(mesh, batch)
+        sharded["tanfov"] = tanfov
+        step_rng = jax.random.fold_in(rng, i)
+        with logger.profile("g_step"):
+            if args.adv:
+                state, logs = step_fn(state, sharded, step_rng,
+                                      dstate.params)
+            else:
+                state, logs = step_fn(state, sharded, step_rng)
+        if args.adv and i % 2 == 1:     # alternate d-steps (`:2933-2948`)
+            with logger.profile("d_step"):
+                dstate, dlogs = dstep_fn(dstate, state.params, sharded,
+                                         step_rng)
+            logger.logkv_mean("d_loss", float(dlogs["d_loss"]))
+        for k, v in logs.items():
+            logger.logkv_mean(k, float(v))
+        if (i + 1) % 20 == 0 or i == 0:
+            logger.logkv("steps_per_s", (i + 1 - int(batch0.get("_", 0)))
+                         / max(time.time() - t0, 1e-9))
+            logger.dumpkvs(i + 1)
+        if (i + 1) % args.save_every == 0:
+            save_checkpoint(os.path.join(logdir, "ckpt"), state)
+    save_checkpoint(os.path.join(logdir, "ckpt"), state)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

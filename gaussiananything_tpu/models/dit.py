@@ -1,0 +1,133 @@
+"""Flow-matching point-cloud DiT denoisers (stage-1 geometry, stage-2
+texture, text-conditioned).
+
+Capability parity:
+  * stage-1 `DiT-PixArt-PCD-CLAY-L` = `DiT_I23D_PCD_PixelArt_noclip`
+    (`dit/dit_i23d.py:437,1516-1524`): x_embedder is an MLP on the raw
+    768×3 point tokens (no patchify/pos-embed, `:472-477`); t-embedding +
+    pooled image vector feed ONE shared adaLN (`:501-509,544-545`); every
+    block cross-attends to the image tokens.
+  * stage-2 `…_clay_stage2` (`dit/dit_i23d.py:664`): denoises 768×10 KL
+    tokens; stage-1 xyz is injected as `XYZPosEmbed(fps-xyz)` added to the
+    x-embedding (use_pe_cond, `:697-705,735-740`).
+  * CLAY-LRM block (`dit/dit_models_xformers.py:717-787`): pre-norm CA to
+    cond tokens → adaLN-gated qk-norm self-attn → adaLN-gated MLP, with a
+    per-block `scale_shift_table` added to the shared adaLN signal
+    (t2i_modulate), RMSNorm variants.
+  * text variant = same trunk with caption tokens as cond
+    (`dit/dit_trilatent.py:262`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gaussiananything_tpu.models.layers import (Attention, Mlp,
+                                                TimestepEmbedder, XYZPosEmbed,
+                                                zero_init_dense)
+
+
+class ClayDiTBlock(nn.Module):
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond_tokens, ada):
+        """x (B,N,D); cond_tokens (B,L,D); ada (B, 6, D) shared adaLN."""
+        d = x.shape[-1]
+        table = self.param("scale_shift_table",
+                           nn.initializers.normal(stddev=0.02 / d ** 0.5),
+                           (6, d))
+        mod = ada + table[None]
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = [mod[:, i][:, None, :]
+                                            for i in range(6)]
+        # cross-attention to conditioning tokens (no gating, pre-norm)
+        x = x + Attention(self.heads, dtype=self.dtype, name="cross_attn")(
+            nn.RMSNorm(dtype=jnp.float32)(x), cond_tokens)
+        h = nn.RMSNorm(dtype=jnp.float32)(x) * (1 + sc_a) + sh_a
+        x = x + g_a * Attention(self.heads, qk_norm=True, dtype=self.dtype,
+                                name="self_attn")(h)
+        h = nn.RMSNorm(dtype=jnp.float32)(x) * (1 + sc_m) + sh_m
+        x = x + g_m * Mlp(int(d * self.mlp_ratio), dtype=self.dtype)(h)
+        return x
+
+
+class PointDiT(nn.Module):
+    """Point-token flow-matching DiT trunk.
+
+    sizes (reference `-L`): depth 24, width 1024, heads 16
+    (`dit/dit_i23d.py:1516-1524`).
+    """
+
+    in_channels: int = 3
+    width: int = 1024
+    depth: int = 24
+    heads: int = 16
+    cond_dim: int = 1024         # conditioner token width
+    vector_dim: int = 1024       # pooled conditioner vector width
+    use_xyz_pe: bool = False     # stage-2: add XYZPosEmbed(fps-xyz)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond_tokens, cond_vector,
+                 xyz: Optional[jnp.ndarray] = None):
+        """x (B, N, in_channels); t (B,) in [0,1];
+        cond_tokens (B, L, cond_dim); cond_vector (B, vector_dim);
+        xyz (B, N, 3) stage-1 geometry for stage-2 conditioning.
+
+        Returns the velocity field, (B, N, in_channels), fp32.
+        """
+        d = self.width
+        h = Mlp(d, out=d, dtype=self.dtype, name="x_embedder")(
+            x.astype(self.dtype))
+        if self.use_xyz_pe:
+            assert xyz is not None, "stage-2 trunk needs fps-xyz conditioning"
+            h = h + XYZPosEmbed(d, dtype=self.dtype, name="xyz_pe")(xyz)
+
+        t_emb = TimestepEmbedder(d, dtype=self.dtype, name="t_embedder")(
+            t * 1000.0)
+        vec = nn.Dense(d, dtype=self.dtype, name="vector_proj")(cond_vector)
+        ada = nn.Dense(6 * d, dtype=self.dtype, name="shared_adaln",
+                       kernel_init=nn.initializers.zeros)(
+                           nn.silu(t_emb + vec))
+        ada = ada.reshape(ada.shape[0], 6, d)
+
+        ctx = nn.Dense(d, dtype=self.dtype, name="cond_proj")(
+            cond_tokens.astype(self.dtype))
+        for i in range(self.depth):
+            h = ClayDiTBlock(self.heads, dtype=self.dtype,
+                             name=f"block_{i}")(h, ctx, ada)
+
+        # T2I final layer: shift/scale from t, zero-init output projection
+        # (`dit/dit_models_xformers.py:62`); output cast fp32
+        # (`dit/dit_i23d.py:565`).
+        fin = self.param("final_scale_shift",
+                         nn.initializers.normal(stddev=0.02 / d ** 0.5),
+                         (2, d))
+        t2 = nn.Dense(2 * d, dtype=self.dtype, name="final_adaln",
+                      kernel_init=nn.initializers.zeros)(nn.silu(t_emb))
+        t2 = t2.reshape(t2.shape[0], 2, d) + fin[None]
+        sh, sc = t2[:, 0][:, None, :], t2[:, 1][:, None, :]
+        h = nn.RMSNorm(dtype=jnp.float32)(h) * (1 + sc) + sh
+        out = zero_init_dense(self.in_channels, dtype=self.dtype,
+                              name="final_proj")(h)
+        return out.astype(jnp.float32)
+
+
+def stage1_dit(size: str = "L", **kw) -> PointDiT:
+    cfg = {"L": dict(depth=24, width=1024, heads=16),
+           "B": dict(depth=12, width=768, heads=12),
+           "S": dict(depth=6, width=384, heads=6)}[size]
+    cfg.update(kw)
+    return PointDiT(in_channels=3, use_xyz_pe=False, **cfg)
+
+
+def stage2_dit(size: str = "L", z_channels: int = 10, **kw) -> PointDiT:
+    cfg = {"L": dict(depth=24, width=1024, heads=16),
+           "B": dict(depth=12, width=768, heads=12),
+           "S": dict(depth=6, width=384, heads=6)}[size]
+    cfg.update(kw)
+    return PointDiT(in_channels=z_channels, use_xyz_pe=True, **cfg)

@@ -67,7 +67,9 @@ def activate_gaussians(raw: jnp.ndarray, anchor_xyz: jnp.ndarray,
     opacity = jax.nn.sigmoid(raw[..., 3:4])
     scale = jax.nn.softplus(raw[..., 4:6]) * SCALE_GAIN
     rot = raw[..., 6:10]
-    rot = rot / (jnp.linalg.norm(rot, axis=-1, keepdims=True) + 1e-8)
+    # safe normalise (finite grad at 0 — see utils.quaternions.normalize)
+    rot = rot * jax.lax.rsqrt(jnp.sum(rot * rot, axis=-1, keepdims=True)
+                              + 1e-16)
     rgb = 0.5 * jnp.tanh(raw[..., 10:13]) + 0.5
     return jnp.concatenate([xyz, opacity, scale, rot, rgb], axis=-1)
 

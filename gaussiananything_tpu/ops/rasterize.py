@@ -321,7 +321,8 @@ def rasterize_naive(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
-                     max_per_tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     max_per_tile: int, row0=0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bin splats into per-tile depth-sorted index lists (static shapes).
 
     Strategy: sort splats by depth once; emit (tile_id, splat) pairs for every
@@ -340,8 +341,17 @@ def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
 
     order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
     cx = jnp.take(sp.center_pix[:, 0], order)
-    cy = jnp.take(sp.center_pix[:, 1], order)
+    cy = jnp.take(sp.center_pix[:, 1], order) - row0   # band-local rows
     r = jnp.take(sp.radius_pix, order)
+    # Clamp the footprint so a splat's tile span NEVER exceeds max_span —
+    # truncating the pair list instead would drop different tiles in full
+    # vs band (sharded) binning. Clamp = hard crop of giant splats' outer
+    # 3σ halo at (√max_span−1)·tile/2 px. MUST be a global constant (not a
+    # function of this grid's n_tiles) so full-image and band renders cut
+    # splats identically.
+    max_span = 36
+    span_side = 6
+    r = jnp.minimum(r, (span_side - 1) * tile / 2)
     valid = jnp.take(sp.valid, order)
 
     tx0 = jnp.clip(jnp.floor((cx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
@@ -353,9 +363,6 @@ def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
 
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
-    # Cap the per-splat tile footprint; a splat wider than max_span tiles is
-    # truncated (graceful degradation, hit only by degenerate huge splats).
-    max_span = min(64, n_tiles)
 
     # Emit pairs: for slot s in [0, max_span): tile offset (s % span_x, s // span_x)
     slots = jnp.arange(max_span, dtype=jnp.int32)
@@ -390,25 +397,30 @@ def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
 @functools.partial(
     jax.jit,
     static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
-                     "tile_group"))
+                     "tile_group", "full_h"))
 def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                     cam_view_proj: jnp.ndarray, tanfov,
                     bg_color: jnp.ndarray, img_h: int, img_w: int,
                     tile: int = 16, max_per_tile: int = 1024,
-                    chunk: int = 256, tile_group: int = 32
-                    ) -> Dict[str, jnp.ndarray]:
+                    chunk: int = 256, tile_group: int = 32,
+                    full_h: int = 0, row0=0) -> Dict[str, jnp.ndarray]:
     """Production renderer: one view, N splats, (img_h, img_w) output.
 
     Differentiable via autodiff (binning indices are non-differentiable ints;
     all value paths flow through gathers). Returns the dict of
     `_state_to_outputs` reshaped to (H, W, C).
+
+    Band rendering (pixel/ray sharding across chips): pass the camera's
+    `full_h` and this band's first row `row0` to render only rows
+    [row0, row0+img_h) of a full_h-tall image — used by
+    `render/sharded.py` to shard rows over the mesh `tile` axis.
     """
     assert img_h % tile == 0 and img_w % tile == 0
-    sp = preprocess_splats(gaussians, cam_view, cam_view_proj, img_h, img_w,
-                           tanfov)
+    sp = preprocess_splats(gaussians, cam_view, cam_view_proj,
+                           full_h or img_h, img_w, tanfov)
     lists, _counts = build_tile_lists(
         jax.tree.map(jax.lax.stop_gradient, sp), img_h, img_w, tile,
-        max_per_tile)
+        max_per_tile, row0=row0)
     tiles_x = img_w // tile
     tiles_y = img_h // tile
     n_tiles = tiles_x * tiles_y
@@ -425,6 +437,12 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
             [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0), sp)
     sp_pad = sp_pad._replace(valid=sp_pad.valid.at[-1].set(False))
 
+    # ONE big contiguous pre-gather of per-tile splat data, instead of a
+    # scattered per-chunk gather inside the hot loop (HBM-latency bound).
+    gathered = _take_splats(sp_pad, lists.reshape(-1))
+    gathered = jax.tree.map(
+        lambda a: a.reshape((n_tiles, max_per_tile) + a.shape[1:]), gathered)
+
     n_chunks = max_per_tile // chunk
     assert max_per_tile % chunk == 0
 
@@ -432,20 +450,23 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
         ty = (tile_idx // tiles_x).astype(jnp.float32)
         tx = (tile_idx % tiles_x).astype(jnp.float32)
         px = local_x + tx * tile
-        py = local_y + ty * tile
-        idx_row = lists[tile_idx]                     # (max_per_tile,)
+        py = local_y + ty * tile + row0
+        tile_sp = jax.tree.map(lambda a: a[tile_idx], gathered)
 
         state = init_pixel_state(tile * tile)
 
         def body(st, c):
-            ids = jax.lax.dynamic_slice_in_dim(idx_row, c * chunk, chunk, 0)
-            spc = _take_splats(sp_pad, ids)           # -1 wraps to dummy
+            spc = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk,
+                                                       0), tile_sp)
             return composite_chunk(st, px, py, spc), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(n_chunks))
         return _state_to_outputs(state, bg_color)
 
-    assert n_tiles % tile_group == 0
+    if n_tiles % tile_group != 0:
+        import math
+        tile_group = math.gcd(tile_group, n_tiles)
     out = jax.lax.map(
         lambda g: jax.vmap(render_tile)(
             g * tile_group + jnp.arange(tile_group)),

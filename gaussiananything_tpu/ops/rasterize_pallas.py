@@ -1,0 +1,322 @@
+"""Pallas TPU kernel for 2DGS tile compositing.
+
+The hot loop of the rasterizer (`ops/rasterize.py`) fused into one Mosaic
+kernel: per-tile front-to-back compositing with
+
+  * scalar-prefetched per-tile splat COUNTS — each tile runs only
+    ceil(count/chunk) chunk iterations instead of max_per_tile/chunk
+    (the XLA path cannot skip padding work; mean count ≪ cap in practice);
+  * early exit (whole-chunk skip) when every pixel's transmittance is
+    saturated;
+  * ONE within-chunk lane-axis prefix scan (log-transmittance); the
+    prefix alpha-mass needed by the distortion term is derived analytically
+    from it (Σ_{j<i} w_j = T_in·(1 − Π_{j<i}(1−α_j))), the m/m² prefixes
+    use two more scans;
+  * accumulation matmul on the MXU; all state resident in a VMEM scratch.
+
+Binning (depth sort → capped per-tile lists) stays in XLA — sorts are
+already optimal there. Backward reuses the differentiable XLA path via
+custom_vjp (`rasterize_tiled_fused`); a hand-derived Pallas VJP is the next
+optimisation.
+
+Channel packing:
+  geom (T, M, 16): tx(3) ty(3) tw(3) tz(3) cpx cpy cz opacity
+  feat (T, M, 8):  rgb(3) normal(3) 1[Σw] pad
+  state scratch (P, 16): trans rgb(3) alpha d_exp d_med dist normal(3)
+                         dA dD dD2 pad(3)
+  out  (T, P, 16): rgb(3) alpha d_exp d_med dist normal(3) trans pad(5)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussiananything_tpu.ops import rasterize as rz
+
+NEAR_CULL = rz.NEAR_CULL
+ALPHA_EPS = rz.ALPHA_EPS
+T_EPS = rz.T_EPS
+ZNEAR, ZFAR = rz.ZNEAR, rz.ZFAR
+
+
+def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix-sum along the last (lane) axis, log₂ steps."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, shift=s, axis=len(x.shape) - 1)
+        x = x + jnp.where(lane >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _make_kernel(tile: int, chunk: int, max_per_tile: int, tiles_x: int,
+                 with_aux: bool = True):
+    P = tile * tile
+    n_chunks_max = max_per_tile // chunk
+
+    def kernel(scal_ref, geom_ref, feat_ref, out_ref, st_ref):
+        i = pl.program_id(0)
+        count = scal_ref[i]
+        row0 = scal_ref[pl.num_programs(0)]
+        ty = (i // tiles_x).astype(jnp.float32)
+        tx = (i % tiles_x).astype(jnp.float32)
+
+        pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        lx = (pix % tile).astype(jnp.float32)
+        ly = (pix // tile).astype(jnp.float32)
+        px = tx * tile + lx                       # (P, 1)
+        py = ty * tile + ly + row0.astype(jnp.float32)
+
+        st_ref[:, :] = jnp.concatenate(
+            [jnp.ones((P, 1), jnp.float32),
+             jnp.zeros((P, 15), jnp.float32)], axis=1)
+
+        n_chunks = jnp.minimum(
+            jax.lax.div(count + chunk - 1, chunk), n_chunks_max)
+
+        def chunk_step(c, _):
+            trans = st_ref[:, 0:1]
+
+            @pl.when(jnp.max(trans) > T_EPS)
+            def _():
+                sl = pl.ds(c * chunk, chunk)
+                geom = geom_ref[0, sl, :]             # (K, 16)
+                feat = feat_ref[0, sl, :]             # (K, 8)
+
+                def col(j):
+                    return geom[:, j].reshape(1, chunk)
+
+                k0 = px * col(6) - col(0)
+                k1 = px * col(7) - col(1)
+                k2 = px * col(8) - col(2)
+                l0 = py * col(6) - col(3)
+                l1 = py * col(7) - col(4)
+                l2 = py * col(8) - col(5)
+                p0 = k1 * l2 - k2 * l1
+                p1 = k2 * l0 - k0 * l2
+                p2 = k0 * l1 - k1 * l0
+                safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+                u = p0 / safe
+                v = p1 / safe
+                rho3d = u * u + v * v
+                z_int = u * col(9) + v * col(10) + col(11)
+                dx = px - col(12)
+                dy = py - col(13)
+                rho2d = rz.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+                use3d = rho3d <= rho2d
+                rho = jnp.minimum(rho3d, rho2d)
+                depth = jnp.where(use3d, z_int, col(14))
+                g = jnp.exp(-0.5 * rho)
+                alpha = jnp.minimum(col(15) * g, rz.ALPHA_MAX)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+                in_count = (c * chunk + lane) < count
+                keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL) & in_count
+                alpha = jnp.where(keep, alpha, 0.0)
+                depth = jnp.where(keep, depth, 0.0)
+
+                log1m = jnp.log1p(-alpha)
+                cums = _lane_cumsum(log1m)
+                t_excl = jnp.exp(cums - log1m)
+                t_in = trans * t_excl
+                # prune below-threshold tails, matching the CUDA early stop
+                alpha = jnp.where(t_in > T_EPS, alpha, 0.0)
+                log1m = jnp.log1p(-alpha)
+                cums = _lane_cumsum(log1m)
+                t_excl = jnp.exp(cums - log1m)
+                w = trans * alpha * t_excl            # (P, K)
+
+                acc = jnp.dot(w, feat,
+                              preferred_element_type=jnp.float32)
+                w_sum = acc[:, 6:7]
+                new_rgb = st_ref[:, 1:4] + acc[:, 0:3]
+                new_alpha = st_ref[:, 4:5] + w_sum
+                new_dexp = st_ref[:, 5:6] + jnp.sum(
+                    w * depth, axis=1, keepdims=True)
+
+                t_after = trans * jnp.exp(cums)
+                crossed = (t_in > 0.5) & (t_after <= 0.5)
+                new_dmed = st_ref[:, 6:7] + jnp.sum(
+                    jnp.where(crossed, depth, 0.0), axis=1, keepdims=True)
+                new_normal = st_ref[:, 8:11] + acc[:, 3:6]
+
+                if with_aux:
+                    zc = jnp.maximum(depth, ZNEAR)
+                    m = jnp.where(keep, (ZFAR * (zc - ZNEAR))
+                                  / (zc * (ZFAR - ZNEAR)), 0.0)
+                    wm_r = w * m
+                    wm2_r = wm_r * m
+                    wm = jnp.sum(wm_r, axis=1, keepdims=True)
+                    wm2 = jnp.sum(wm2_r, axis=1, keepdims=True)
+                    # Σ_{j<i} w_j = T_in·(1 − t_excl_i): no extra scan.
+                    A_pre = st_ref[:, 11:12] + trans * (1.0 - t_excl)
+                    D_pre = st_ref[:, 12:13] + (_lane_cumsum(wm_r) - wm_r)
+                    D2_pre = st_ref[:, 13:14] + (_lane_cumsum(wm2_r)
+                                                 - wm2_r)
+                    new_dist = st_ref[:, 7:8] + jnp.sum(
+                        w * (m * m * A_pre + D2_pre - 2 * m * D_pre),
+                        axis=1, keepdims=True)
+                    st_ref[:, 7:8] = new_dist
+                    st_ref[:, 11:12] = st_ref[:, 11:12] + w_sum
+                    st_ref[:, 12:13] = st_ref[:, 12:13] + wm
+                    st_ref[:, 13:14] = st_ref[:, 13:14] + wm2
+
+                st_ref[:, 0:1] = trans * jnp.exp(cums[:, chunk - 1:chunk])
+                st_ref[:, 1:4] = new_rgb
+                st_ref[:, 4:5] = new_alpha
+                st_ref[:, 5:6] = new_dexp
+                st_ref[:, 6:7] = new_dmed
+                st_ref[:, 8:11] = new_normal
+
+            return None
+
+        jax.lax.fori_loop(0, n_chunks, chunk_step, None)
+
+        out_ref[0, :, 0:3] = st_ref[:, 1:4]      # rgb
+        out_ref[0, :, 3:4] = st_ref[:, 4:5]      # alpha
+        out_ref[0, :, 4:5] = st_ref[:, 5:6]      # depth_exp
+        out_ref[0, :, 5:6] = st_ref[:, 6:7]      # depth_med
+        out_ref[0, :, 6:7] = st_ref[:, 7:8]      # dist
+        out_ref[0, :, 7:10] = st_ref[:, 8:11]    # normal
+        out_ref[0, :, 10:11] = st_ref[:, 0:1]    # trans
+        out_ref[0, :, 11:16] = jnp.zeros((P, 5), jnp.float32)
+
+    return kernel
+
+
+def pack_tile_inputs(sp_pad: rz.SplatProj, lists: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather per-tile splat rows into the packed geom/feat arrays."""
+    opac = jnp.where(sp_pad.valid, sp_pad.opacity, 0.0)
+    geom_all = jnp.concatenate(
+        [sp_pad.t_x, sp_pad.t_y, sp_pad.t_w, sp_pad.t_z,
+         sp_pad.center_pix, sp_pad.center_z[:, None], opac[:, None]],
+        axis=1)                                          # (N+1, 16)
+    feat_all = jnp.concatenate(
+        [sp_pad.rgb, sp_pad.normal_view,
+         jnp.ones((sp_pad.rgb.shape[0], 1)),
+         jnp.zeros((sp_pad.rgb.shape[0], 1))], axis=1)   # (N+1, 8)
+    T, M = lists.shape
+    idx = lists.reshape(-1)
+    geom = jnp.take(geom_all, idx, axis=0).reshape(T, M, 16)
+    feat = jnp.take(feat_all, idx, axis=0).reshape(T, M, 8)
+    return geom, feat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "full_h", "with_aux"))
+def rasterize_tiled_pallas(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                           cam_view_proj: jnp.ndarray, tanfov,
+                           bg_color: jnp.ndarray, img_h: int, img_w: int,
+                           tile: int = 16, max_per_tile: int = 1024,
+                           chunk: int = 256, full_h: int = 0,
+                           row0=0, with_aux: bool = False
+                           ) -> Dict[str, jnp.ndarray]:
+    """Drop-in fast-forward replacement for `rz.rasterize_tiled` (same output
+    dict; gradients via the XLA path — see `rasterize_tiled_fused`).
+
+    with_aux=False (default) skips the depth-distortion accumulators ('dist'
+    returns zeros) — the inference path doesn't use them and the extra
+    prefix scans currently blow Mosaic's VMEM budget at chunk≥128.
+    """
+    assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
+    sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
+                              full_h or img_h, img_w, tanfov)
+    lists, counts = rz.build_tile_lists(sp, img_h, img_w, tile, max_per_tile,
+                                        row0=row0)
+    sp_pad = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0), sp)
+    sp_pad = sp_pad._replace(valid=sp_pad.valid.at[-1].set(False))
+    geom, feat = pack_tile_inputs(sp_pad, lists)
+
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    P = tile * tile
+
+    scalars = jnp.concatenate(
+        [counts.astype(jnp.int32),
+         jnp.asarray(row0, jnp.int32).reshape(1)])
+
+    kernel = _make_kernel(tile, chunk, max_per_tile, tiles_x,
+                          with_aux=with_aux)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, max_per_tile, 16), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, max_per_tile, 8), lambda i, s: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, 16), lambda i, s: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((P, 16), jnp.float32)],
+    )
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, geom, feat)
+
+    def detile(a):
+        c_shape = a.shape[2:]
+        a = a.reshape(tiles_y, tiles_x, tile, tile, *c_shape)
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(img_h, img_w, *c_shape)
+
+    trans = detile(out[:, :, 10])
+    return {
+        "image": detile(out[:, :, 0:3]) + trans[..., None] * bg_color,
+        "alpha": detile(out[:, :, 3]),
+        "depth_expected": detile(out[:, :, 4]),
+        "depth_median": detile(out[:, :, 5]),
+        "dist": detile(out[:, :, 6]),
+        "normal_view": detile(out[:, :, 7:10]),
+    }
+
+
+def rasterize_tiled_fused(gaussians, cam_view, cam_view_proj, tanfov,
+                          bg_color, img_h: int, img_w: int, tile: int = 16,
+                          max_per_tile: int = 1024, chunk: int = 256,
+                          tile_group: int = 32, full_h: int = 0, row0=0):
+    """Pallas forward + XLA-autodiff backward via custom_vjp.
+
+    Forward pass runs the fused kernel (fast inference/eval); gradients fall
+    back to the differentiable XLA compositing path, recomputing the forward
+    (rematerialisation — no residuals stored).
+    """
+
+    @jax.custom_vjp
+    def _render(g):
+        return rasterize_tiled_pallas(
+            g, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
+            tile=tile, max_per_tile=max_per_tile, chunk=chunk,
+            full_h=full_h, row0=row0)
+
+    def _fwd(g):
+        return _render(g), g
+
+    def _bwd(g, ct):
+        def xla_path(gg):
+            return rz.rasterize_tiled(
+                gg, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
+                tile=tile, max_per_tile=max_per_tile, chunk=chunk,
+                tile_group=tile_group, full_h=full_h, row0=row0)
+
+        _, vjp = jax.vjp(xla_path, g)
+        return vjp(ct)
+
+    _render.defvjp(_fwd, _bwd)
+    return _render(gaussians)

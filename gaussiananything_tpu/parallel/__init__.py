@@ -1,0 +1,2 @@
+from gaussiananything_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate)

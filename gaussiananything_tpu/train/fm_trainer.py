@@ -1,0 +1,135 @@
+"""Flow-matching diffusion training on pre-extracted latents.
+
+Capability parity with `FlowMatchingEngine(_gs)`
+(`nsr/lsgm/flow_matching_trainer.py:156-572,887`):
+  * latents come PRE-EXTRACTED (no VAE forward in diffusion training,
+    `:536`; dataset `datasets/g_buffer_objaverse.py:3661-3687`).
+  * stage-1 target = normalised fps-xyz (768×3, xyz/0.164);
+    stage-2 target = KL latent (768×10) conditioned on stage-1 xyz.
+  * conditioner forward with ucg dropout inside the loss
+    (`sgm/modules/encoders/modules.py:130-174`); optional separate lr for
+    the embedder group (0.5×, `:374-399`) via optax multi_transform.
+  * loss = transport velocity MSE (`transport/transport.py:148-190`).
+
+Sampling (`:701-744`): z ~ N(0,1) → CFG batch-doubled ODE integration →
+unnormalise ×0.164 (stage-1) / split (kl, xyz) (stage-2).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussiananything_tpu.diffusion.sampling import (cfg_velocity_fn,
+                                                     sample_ode,
+                                                     sample_ode_adaptive)
+from gaussiananything_tpu.diffusion.transport import Transport
+from gaussiananything_tpu.train.state import (TrainState, TrainStateConfig,
+                                              make_optimizer)
+
+XYZ_SCALE = 0.164   # `datasets/g_buffer_objaverse.py:3645`
+
+
+@dataclasses.dataclass(frozen=True)
+class FMConfig:
+    stage: int = 1                      # 1: geometry xyz; 2: texture latent
+    cfg_scale: float = 4.5              # release i23d-stage1.sh
+    num_steps: int = 250
+    sampler: str = "heun"               # 'euler'|'heun'|'dopri5'
+    latent_divider: float = 1.0         # triplane_scaling_divider
+
+
+def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
+                       cfg: FMConfig, tx_cfg: Optional[TrainStateConfig] = None,
+                       train_conditioner: bool = True):
+    """Returns train_step(state, cond_state, batch, rng) → (state, cond_state, logs).
+
+    batch keys: 'latent' (B, N, C) training target (already normalised);
+    'cond' conditioner input (images (B,3,H,W) or token ids);
+    stage-2 additionally 'xyz' (B, N, 3).
+    """
+    tx = make_optimizer(tx_cfg or TrainStateConfig())
+    # embedder group at 0.5× lr (`flow_matching_trainer.py:374-399`)
+    base = tx_cfg or TrainStateConfig()
+    cond_tx = make_optimizer(dataclasses.replace(base, lr=base.lr * 0.5))
+
+    @jax.jit
+    def train_step(state: TrainState, cond_state: TrainState, batch, rng):
+        rng_c, rng_t = jax.random.split(rng)
+
+        def loss(dit_params, cond_params):
+            cond = conditioner_model.apply(cond_params, batch["cond"],
+                                           rng=rng_c, train=True)
+
+            def velocity(xt, t):
+                kwargs = {}
+                if cfg.stage == 2:
+                    kwargs["xyz"] = batch["xyz"]
+                return dit_model.apply(dit_params, xt, t, cond.crossattn,
+                                       cond.vector, **kwargs)
+
+            x1 = batch["latent"] / cfg.latent_divider
+            l, aux = transport.training_loss(
+                lambda xt, t: velocity(xt, t), rng_t, x1)
+            return l, aux
+
+        (l, aux), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(
+                state.params, cond_state.params)
+        g_dit, g_cond = grads
+        new_state = state.apply_gradients(g_dit, tx)
+        if train_conditioner:
+            new_cond = cond_state.apply_gradients(g_cond, cond_tx)
+        else:
+            new_cond = cond_state
+        logs = {"fm_loss": l, "t_mean": jnp.mean(aux["t"])}
+        return new_state, new_cond, logs
+
+    return train_step
+
+
+def make_sampler(dit_model, conditioner_model, cfg: FMConfig,
+                 latent_shape) -> Callable:
+    """Returns sample(dit_params, cond_params, cond_input, rng, xyz=None) →
+    latent samples. CFG via batch-doubling; ODE integration jitted."""
+
+    def sample(dit_params, cond_params, cond_input, rng,
+               xyz: Optional[jnp.ndarray] = None,
+               cfg_scale: Optional[float] = None,
+               num_steps: Optional[int] = None):
+        scale = cfg.cfg_scale if cfg_scale is None else cfg_scale
+        steps = cfg.num_steps if num_steps is None else num_steps
+        B = jax.tree.leaves(cond_input)[0].shape[0]
+        cond = conditioner_model.apply(cond_params, cond_input)
+        uncond = jax.tree.map(jnp.zeros_like, cond)
+
+        def velocity(x, t, c):
+            kwargs = {}
+            if cfg.stage == 2:
+                assert xyz is not None
+                kwargs["xyz"] = jnp.concatenate([xyz, xyz], 0) \
+                    if x.shape[0] == 2 * B else xyz
+            return dit_model.apply(dit_params, x, t, c.crossattn, c.vector,
+                                   **kwargs)
+
+        guided = cfg_velocity_fn(velocity, cond, uncond, scale)
+        x0 = jax.random.normal(rng, (B,) + tuple(latent_shape))
+        if cfg.sampler == "dopri5":
+            x1 = sample_ode_adaptive(guided, x0)
+        else:
+            x1 = sample_ode(guided, x0, num_steps=steps, method=cfg.sampler)
+        return x1 * cfg.latent_divider
+
+    return sample
+
+
+def unnormalize_stage1(xyz_latent: jnp.ndarray) -> jnp.ndarray:
+    """sampled 768×3 → world xyz (×0.164, `flow_matching_trainer.py:987,999`)."""
+    return xyz_latent * XYZ_SCALE
+
+
+def split_stage2(latent: jnp.ndarray, z_channels: int = 10):
+    """(B, N, z+3) → (kl latent, anchor xyz) (`:1421-1422`)."""
+    return latent[..., :z_channels], latent[..., z_channels:] * XYZ_SCALE

