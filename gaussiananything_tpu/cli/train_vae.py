@@ -144,6 +144,17 @@ def main(argv=None):
             logger.logkv_mean("d_loss", float(dlogs["d_loss"]))
         for k, v in logs.items():
             logger.logkv_mean(k, float(v))
+        if (i + 1) % args.eval_every == 0:
+            from gaussiananything_tpu.train.evaluation import eval_novelview
+            eval_batch = next(it)
+            eval_batch.pop("tanfov")
+            eval_batch["tanfov"] = tanfov
+            m = eval_novelview(model, state.ema_params, eval_batch,
+                               step_rng, loss_cfg.lod_resolutions,
+                               out_dir=os.path.join(logdir, "eval"),
+                               step=i + 1)
+            for k, v in m.items():
+                logger.logkv(k, v)
         if (i + 1) % 20 == 0 or i == 0:
             logger.logkv("steps_per_s", (i + 1 - int(batch0.get("_", 0)))
                          / max(time.time() - t0, 1e-9))

@@ -1,0 +1,104 @@
+"""ctypes bindings for the native C++ runtime (`native/libganative.so`).
+
+Provides fast host-side mesh extraction and PLY encoding; every entry point
+falls back to the pure-python implementation when the library isn't built
+(`make -C native`). This mirrors the reference's split: device compute in
+kernels, host runtime (meshing/IO) in C++ (Open3D / plyfile there).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "native", "libganative.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ga_surface_nets.restype = ctypes.c_int
+    lib.ga_surface_nets.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ga_write_ply.restype = ctypes.c_int
+    lib.ga_write_ply.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    _LIB = lib
+    return lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def surface_nets(tsdf: np.ndarray, color: Optional[np.ndarray] = None,
+                 bound: float = 0.495
+                 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Native surface nets; falls back to `render.tsdf.surface_nets`."""
+    lib = _load()
+    if lib is None:
+        from gaussiananything_tpu.render.tsdf import \
+            surface_nets as py_surface_nets
+        return py_surface_nets(tsdf, color, bound)
+
+    D = tsdf.shape[0]
+    tsdf_c = np.ascontiguousarray(tsdf, np.float32)
+    col_c = (np.ascontiguousarray(color, np.float32)
+             if color is not None else None)
+    vert_cap = max(1024, 4 * D * D * 3)
+    face_cap = 4 * vert_cap
+    verts = np.empty((vert_cap, 3), np.float32)
+    cols = np.empty((vert_cap, 3), np.float32)
+    faces = np.empty((face_cap, 3), np.int32)
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.ga_surface_nets(
+        tsdf_c.ctypes.data_as(fp),
+        col_c.ctypes.data_as(fp) if col_c is not None else None,
+        D, ctypes.c_float(bound),
+        verts.ctypes.data_as(fp),
+        cols.ctypes.data_as(fp),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vert_cap, face_cap, ctypes.byref(nv), ctypes.byref(nf))
+    if rc != 0:
+        raise RuntimeError("ga_surface_nets: capacity exceeded")
+    v = verts[: nv.value].copy()
+    f = faces[: nf.value].copy()
+    c = cols[: nv.value].copy() if color is not None else None
+    return v, f, c
+
+
+def write_ply_native(path: str, fields: dict) -> bool:
+    """Native binary PLY writer; returns False (caller should fall back)
+    when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    names = list(fields)
+    n = len(fields[names[0]])
+    data = np.ascontiguousarray(
+        np.stack([np.asarray(fields[k], np.float32).reshape(n)
+                  for k in names], axis=1))
+    blob = b"\0".join(k.encode() for k in names) + b"\0"
+    rc = lib.ga_write_ply(
+        path.encode(), blob, len(names),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return rc == 0

@@ -23,6 +23,10 @@ SH_C0 = 0.28209479177387814
 
 def write_ply(path: str, fields: Dict[str, np.ndarray], binary: bool = True):
     """fields: name -> (N,) float32 arrays, written in insertion order."""
+    if binary:
+        from gaussiananything_tpu import native_bindings
+        if native_bindings.write_ply_native(path, fields):
+            return
     names = list(fields)
     n = len(fields[names[0]])
     cols = [np.asarray(fields[k], dtype=np.float32).reshape(n) for k in names]

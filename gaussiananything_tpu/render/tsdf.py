@@ -171,7 +171,10 @@ def export_mesh_from_gaussians(path: str, gaussians: jnp.ndarray,
     tsdf, color = integrate_tsdf(
         out["depth"][0], out["image"][0], out["alpha"][0],
         cam["cam_view"], cam["tanfov"][0], resolution=resolution)
-    verts, faces, vcol = surface_nets(np.asarray(tsdf), np.asarray(color))
+    # native C++ extractor when built; python fallback otherwise
+    from gaussiananything_tpu import native_bindings
+    verts, faces, vcol = native_bindings.surface_nets(
+        np.asarray(tsdf), np.asarray(color))
     if path.endswith(".obj"):
         with open(path, "w") as f:
             for v in verts:

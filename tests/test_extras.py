@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestSH:
+    def test_degree0_roundtrip(self):
+        from gaussiananything_tpu.render.sh import (eval_sh, rgb_to_sh,
+                                                    sh_to_rgb)
+        rgb = jnp.asarray(np.random.default_rng(0).uniform(size=(10, 3)))
+        sh = rgb_to_sh(rgb)
+        np.testing.assert_allclose(np.asarray(sh_to_rgb(sh)),
+                                   np.asarray(rgb), atol=1e-6)
+        # degree-0 eval is direction-independent
+        dirs = jnp.asarray(np.random.default_rng(1).normal(size=(10, 3)))
+        out = eval_sh(0, sh[..., None] * 0 + sh[..., None], dirs)
+        np.testing.assert_allclose(np.asarray(out + 0.5 - 0.5),
+                                   np.asarray(sh * 0.28209479177387814),
+                                   atol=1e-6)
+
+
+class TestDDPM:
+    def test_qsample_boundaries(self):
+        from gaussiananything_tpu.diffusion.ddpm import create_diffusion
+        d = create_diffusion(100)
+        x0 = jnp.ones((2, 4, 3))
+        noise = jnp.zeros((2, 4, 3))
+        xt = d.q_sample(x0, jnp.array([0, 0]), noise)
+        np.testing.assert_allclose(np.asarray(xt), 1.0, atol=0.05)
+
+    def test_ddim_recovers_oracle(self):
+        # model that exactly predicts eps=0 → sample converges to x0
+        from gaussiananything_tpu.diffusion.ddpm import create_diffusion
+        d = create_diffusion(100)
+
+        def model(x, t):
+            # eps-prediction oracle for data concentrated at a point c:
+            # eps = (x - sqrt(a)*c)/sqrt(1-a)
+            a = d.alphas_cum[t].reshape(-1, 1, 1)
+            c = jnp.full_like(x, 0.7)
+            return (x - jnp.sqrt(a) * c) / jnp.sqrt(1 - a)
+
+        out = d.ddim_sample(model, jax.random.PRNGKey(0), (2, 4, 3),
+                            num_steps=25)
+        np.testing.assert_allclose(np.asarray(out), 0.7, atol=0.05)
+
+    def test_training_loss_finite(self):
+        from gaussiananything_tpu.diffusion.ddpm import create_diffusion
+        for pt in ["eps", "x0", "v"]:
+            d = create_diffusion(50, pred_type=pt)
+            loss, _ = d.training_loss(
+                lambda x, t: jnp.zeros_like(x), jax.random.PRNGKey(0),
+                jnp.ones((2, 8, 3)))
+            assert np.isfinite(float(loss))
+
+
+class TestRealData:
+    def test_background_removal(self):
+        from gaussiananything_tpu.data.real import (remove_background,
+                                                    resize_foreground)
+        img = np.full((64, 64, 3), 0.2, np.float32)     # gray bg
+        img[20:40, 20:40] = [0.9, 0.1, 0.1]             # red object
+        out = remove_background(img)
+        np.testing.assert_allclose(out[0, 0], 1.0, atol=1e-5)   # bg→white
+        np.testing.assert_allclose(out[30, 30], [0.9, 0.1, 0.1], atol=1e-5)
+        out2 = resize_foreground(out)
+        fg_frac = np.mean(np.any(np.abs(out2 - 1) > 0.02, axis=-1))
+        assert fg_frac > 0.4                             # fg fills frame
+
+    def test_folder_dataset(self, tmp_path):
+        from PIL import Image
+
+        from gaussiananything_tpu.data.real import RealImageDataset
+        for i in range(3):
+            arr = (np.random.default_rng(i).uniform(
+                size=(48, 48, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"{i}.png")
+        ds = RealImageDataset(str(tmp_path), img_size=28, remove_bg=False)
+        assert len(ds) == 3
+        x = ds[0]
+        assert x.shape == (3, 28, 28)
+        assert 0 <= x.min() and x.max() <= 1
+
+
+class TestEvaluation:
+    def test_psnr_ssim(self):
+        from gaussiananything_tpu.train.evaluation import image_metrics
+        img = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(1, 2, 3, 32, 32)), jnp.float32)
+        m = image_metrics(img, img)
+        assert m["psnr"] > 60
+        assert m["ssim"] > 0.99
+        noisy = jnp.clip(img + 0.1, 0, 1)
+        m2 = image_metrics(noisy, img)
+        assert m2["psnr"] < m["psnr"]
+
+    def test_eval_novelview(self, tmp_path):
+        from gaussiananything_tpu.data.synthetic import make_batch
+        from gaussiananything_tpu.models.vae import PointVAE
+        from gaussiananything_tpu.train.evaluation import eval_novelview
+        batch = make_batch(seed=0, batch=1, n_views_in=2, n_views_sup=2,
+                           res=32, n_pts=64, n_splats=128)
+        batch.pop("gt_gaussians")
+        model = PointVAE(latent_num=16, z_channels=4, encoder_width=64,
+                         decoder_width=64, decoder_depth=1, decoder_heads=4,
+                         up_factors=(2,), up_depths=(1,))
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, batch["images_in"], batch["pcd"], rng)
+        m = eval_novelview(model, params, batch, rng, (16, 32),
+                           out_dir=str(tmp_path), step=1)
+        assert "eval/psnr" in m and np.isfinite(m["eval/psnr"])
+        import os
+        assert os.path.exists(tmp_path / "eval_0000001.png")
+
+
+class TestProfiler:
+    def test_timer(self):
+        from gaussiananything_tpu.utils.profiling import Timer
+        t = Timer()
+        with t.scope("a"):
+            _ = sum(range(1000))
+        assert "a" in t.means() and t.means()["a"] > 0
+
+
+class TestDist:
+    def test_single_host_helpers(self):
+        from gaussiananything_tpu.parallel import dist
+        dist.setup_dist()              # no-op single host
+        assert dist.get_rank() == 0
+        assert dist.get_world_size() == 1
+        assert dist.is_main()
+        assert dist.local_batch_slice(8) == slice(0, 8)
