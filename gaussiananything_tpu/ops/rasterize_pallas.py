@@ -320,3 +320,214 @@ def rasterize_tiled_fused(gaussians, cam_view, cam_view_proj, tanfov,
 
     _render.defvjp(_fwd, _bwd)
     return _render(gaussians)
+
+
+# ---------------------------------------------------------------------------
+# Kernel v2: count-sorted tile groups.
+#
+# The v1 kernel (grid = one program per tile) is latency-bound on TPU: the
+# Pallas grid runs SEQUENTIALLY on the core, so 4096 programs × tiny (64, K)
+# vector work underutilises the VPU. v2 restores full vector width by
+# processing G tiles per program as (G·P, K) blocks, and recovers the
+# work-skipping by SORTING tiles by splat count first: within a group the
+# max count bounds the chunk loop, so the work done is ~Σ sorted-group
+# maxima ≈ Σ per-tile counts, not n_tiles × max_per_tile.
+# ---------------------------------------------------------------------------
+
+
+def _make_grouped_kernel(tile: int, chunk: int, max_per_tile: int,
+                         group: int, n_tiles: int):
+    P = tile * tile
+    GP = group * P
+    n_chunks_max = max_per_tile // chunk
+
+    def kernel(scal_ref, geom_ref, feat_ref, px_ref, py_ref, cnt_ref,
+               out_ref, st_ref):
+        g = pl.program_id(0)
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            st_ref[:, :, 0:1] = jnp.ones((group, P, 1), jnp.float32)
+            st_ref[:, :, 1:16] = jnp.zeros((group, P, 15), jnp.float32)
+
+        gmax = scal_ref[g]
+        trans = st_ref[:, :, 0:1]                       # (G, P, 1)
+        active = (c * chunk < gmax) & (jnp.max(trans) > T_EPS)
+
+        @pl.when(active)
+        def _():
+            # all hot arrays are 3-D (G, P, chunk): P sublanes, chunk lanes
+            px = px_ref[:][:, :, None]                  # (G, P, 1)
+            py = py_ref[:][:, :, None]
+            cnt = cnt_ref[:][:, :, None]                # (G, 1, 1)
+
+            def col(i):
+                return geom_ref[:, :, i][:, None, :]    # (G, 1, chunk)
+
+            k0 = px * col(6) - col(0)
+            k1 = px * col(7) - col(1)
+            k2 = px * col(8) - col(2)
+            l0 = py * col(6) - col(3)
+            l1 = py * col(7) - col(4)
+            l2 = py * col(8) - col(5)
+            p0 = k1 * l2 - k2 * l1
+            p1 = k2 * l0 - k0 * l2
+            p2 = k0 * l1 - k1 * l0
+            safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+            u = p0 / safe
+            v = p1 / safe
+            rho3d = u * u + v * v
+            z_int = u * col(9) + v * col(10) + col(11)
+            dx = px - col(12)
+            dy = py - col(13)
+            rho2d = rz.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            use3d = rho3d <= rho2d
+            rho = jnp.minimum(rho3d, rho2d)
+            depth = jnp.where(use3d, z_int, col(14))
+            gau = jnp.exp(-0.5 * rho)
+            alpha = jnp.minimum(col(15) * gau, rz.ALPHA_MAX)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (group, P, chunk), 2)
+            in_count = (c * chunk + lane) < cnt.astype(jnp.int32)
+            keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL) & in_count
+            alpha = jnp.where(keep, alpha, 0.0)
+            depth = jnp.where(keep, depth, 0.0)
+
+            log1m = jnp.log1p(-alpha)
+            cums = _lane_cumsum(log1m)
+            t_excl = jnp.exp(cums - log1m)
+            t_in = trans * t_excl
+            alpha = jnp.where(t_in > T_EPS, alpha, 0.0)
+            log1m = jnp.log1p(-alpha)
+            cums = _lane_cumsum(log1m)
+            t_excl = jnp.exp(cums - log1m)
+            w = trans * alpha * t_excl                  # (G, P, chunk)
+
+            def fcol(i):
+                return feat_ref[:, :, i][:, None, :]
+
+            def rsum(x):
+                return jnp.sum(x, axis=2, keepdims=True)
+
+            st_ref[:, :, 1:2] = st_ref[:, :, 1:2] + rsum(w * fcol(0))
+            st_ref[:, :, 2:3] = st_ref[:, :, 2:3] + rsum(w * fcol(1))
+            st_ref[:, :, 3:4] = st_ref[:, :, 3:4] + rsum(w * fcol(2))
+            st_ref[:, :, 4:5] = st_ref[:, :, 4:5] + rsum(w)
+            st_ref[:, :, 5:6] = st_ref[:, :, 5:6] + rsum(w * depth)
+            t_after = trans * jnp.exp(cums)
+            crossed = (t_in > 0.5) & (t_after <= 0.5)
+            st_ref[:, :, 6:7] = st_ref[:, :, 6:7] + rsum(
+                jnp.where(crossed, depth, 0.0))
+            st_ref[:, :, 8:9] = st_ref[:, :, 8:9] + rsum(w * fcol(3))
+            st_ref[:, :, 9:10] = st_ref[:, :, 9:10] + rsum(w * fcol(4))
+            st_ref[:, :, 10:11] = st_ref[:, :, 10:11] + rsum(w * fcol(5))
+            st_ref[:, :, 0:1] = trans * jnp.exp(
+                cums[:, :, chunk - 1:chunk])
+
+        @pl.when(c == n_chunks_max - 1)
+        def _():
+            s = st_ref[:, :, :]
+            out_ref[:, :, 0:3] = s[:, :, 1:4]
+            out_ref[:, :, 3:4] = s[:, :, 4:5]
+            out_ref[:, :, 4:5] = s[:, :, 5:6]
+            out_ref[:, :, 5:6] = s[:, :, 6:7]
+            out_ref[:, :, 6:7] = s[:, :, 7:8]
+            out_ref[:, :, 7:10] = s[:, :, 8:11]
+            out_ref[:, :, 10:11] = s[:, :, 0:1]
+            out_ref[:, :, 11:16] = jnp.zeros((group, P, 5), jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "group", "full_h"))
+def rasterize_tiled_pallas_grouped(
+        gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+        cam_view_proj: jnp.ndarray, tanfov, bg_color: jnp.ndarray,
+        img_h: int, img_w: int, tile: int = 8, max_per_tile: int = 512,
+        chunk: int = 128, group: int = 16, full_h: int = 0,
+        row0=0) -> Dict[str, jnp.ndarray]:
+    """Count-sorted grouped Pallas forward (fast path; no 'dist' output)."""
+    assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
+    sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
+                              full_h or img_h, img_w, tanfov)
+    lists, counts = rz.build_tile_lists(sp, img_h, img_w, tile, max_per_tile,
+                                        row0=row0)
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    P = tile * tile
+    assert n_tiles % group == 0
+    n_groups = n_tiles // group
+
+    # sort tiles by count (desc) so each group's max bounds its loop
+    order = jnp.argsort(-counts)
+    inv_order = jnp.argsort(order)
+    lists_s = jnp.take(lists, order, axis=0)
+    counts_s = jnp.take(counts, order)
+
+    sp_pad = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0), sp)
+    sp_pad = sp_pad._replace(valid=sp_pad.valid.at[-1].set(False))
+    geom, feat = pack_tile_inputs(sp_pad, lists_s)
+
+    # per-tile pixel coordinate tables (sorted order)
+    ty = (order // tiles_x).astype(jnp.float32)
+    tx = (order % tiles_x).astype(jnp.float32)
+    ly, lx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
+                          jnp.arange(tile, dtype=jnp.float32), indexing="ij")
+    px_tab = tx[:, None] * tile + lx.reshape(-1)[None, :]       # (T, P)
+    py_tab = ty[:, None] * tile + ly.reshape(-1)[None, :] \
+        + jnp.asarray(row0, jnp.float32)
+
+    gmax = counts_s.reshape(n_groups, group).max(axis=1).astype(jnp.int32)
+    cnt_f = counts_s.astype(jnp.float32)[:, None]               # (T, 1)
+
+    kernel = _make_grouped_kernel(tile, chunk, max_per_tile, group, n_tiles)
+    n_chunks_max = max_per_tile // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, n_chunks_max),
+        in_specs=[
+            pl.BlockSpec((group, chunk, 16), lambda g, c, s: (g, c, 0)),
+            pl.BlockSpec((group, chunk, 8), lambda g, c, s: (g, c, 0)),
+            pl.BlockSpec((group, P), lambda g, c, s: (g, 0)),
+            pl.BlockSpec((group, P), lambda g, c, s: (g, 0)),
+            pl.BlockSpec((group, 1), lambda g, c, s: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, P, 16), lambda g, c, s: (g, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((group, P, 16), jnp.float32)],
+    )
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(gmax, geom, feat, px_tab, py_tab, cnt_f)
+
+    out = jnp.take(out, inv_order, axis=0)      # unsort tiles
+
+    def detile(a):
+        c_shape = a.shape[2:]
+        a = a.reshape(tiles_y, tiles_x, tile, tile, *c_shape)
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(img_h, img_w, *c_shape)
+
+    trans = detile(out[:, :, 10])
+    return {
+        "image": detile(out[:, :, 0:3]) + trans[..., None] * bg_color,
+        "alpha": detile(out[:, :, 3]),
+        "depth_expected": detile(out[:, :, 4]),
+        "depth_median": detile(out[:, :, 5]),
+        "dist": detile(out[:, :, 6]),
+        "normal_view": detile(out[:, :, 7:10]),
+    }

@@ -61,3 +61,22 @@ def test_fused_vjp_matches_xla():
     g2 = jax.grad(loss_xla)(g)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3,
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_grouped_kernel_matches_xla_interpret():
+    """Count-sorted grouped kernel (v2) vs XLA path, interpreter mode."""
+    from gaussiananything_tpu.ops.rasterize_pallas import \
+        rasterize_tiled_pallas_grouped
+    g, cam = setup_scene(n=512, img=64)
+    bg = jnp.ones(3)
+    ref = rz.rasterize_tiled(g, cam["cam_view"], cam["cam_view_proj"],
+                             cam["tanfov"], bg, 64, 64, tile=8,
+                             max_per_tile=256, chunk=64, tile_group=16)
+    got = rasterize_tiled_pallas_grouped(
+        g, cam["cam_view"], cam["cam_view_proj"], cam["tanfov"], bg, 64,
+        64, tile=8, max_per_tile=256, chunk=64, group=16)
+    for k in ["image", "alpha", "depth_median", "depth_expected",
+              "normal_view"]:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=5e-3, err_msg=k)
