@@ -91,13 +91,11 @@ def main(argv=None):
                                           cfg.dit.cond_img_size)["image"][:1]
 
     K = cfg.vae.latent_num
-    c_init = None
     x0 = jnp.zeros((1, K, 3))
     cond_params = cond.init(rng, cond_img)
-    dit1_params = dit1.init(rng, x0, jnp.zeros((1,)),
-                            cond.apply(cond_params, cond_img).crossattn,
-                            cond.apply(cond_params, cond_img).vector)
-    del c_init
+    c0 = cond.apply(cond_params, cond_img)
+    dit1_params = dit1.init(rng, x0, jnp.zeros((1,)), c0.crossattn,
+                            c0.vector)
 
     def _restore(ckpt, params):
         if not ckpt:

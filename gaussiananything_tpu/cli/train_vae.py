@@ -156,8 +156,8 @@ def main(argv=None):
             for k, v in m.items():
                 logger.logkv(k, v)
         if (i + 1) % 20 == 0 or i == 0:
-            logger.logkv("steps_per_s", (i + 1 - int(batch0.get("_", 0)))
-                         / max(time.time() - t0, 1e-9))
+            logger.logkv("steps_per_s",
+                         (i + 1) / max(time.time() - t0, 1e-9))
             logger.dumpkvs(i + 1)
         if (i + 1) % args.save_every == 0:
             save_checkpoint(os.path.join(logdir, "ckpt"), state)

@@ -63,21 +63,25 @@ def surface_nets(tsdf: np.ndarray, color: Optional[np.ndarray] = None,
     col_c = (np.ascontiguousarray(color, np.float32)
              if color is not None else None)
     vert_cap = max(1024, 4 * D * D * 3)
-    face_cap = 4 * vert_cap
-    verts = np.empty((vert_cap, 3), np.float32)
-    cols = np.empty((vert_cap, 3), np.float32)
-    faces = np.empty((face_cap, 3), np.int32)
-    nv = ctypes.c_int64()
-    nf = ctypes.c_int64()
     fp = ctypes.POINTER(ctypes.c_float)
-    rc = lib.ga_surface_nets(
-        tsdf_c.ctypes.data_as(fp),
-        col_c.ctypes.data_as(fp) if col_c is not None else None,
-        D, ctypes.c_float(bound),
-        verts.ctypes.data_as(fp),
-        cols.ctypes.data_as(fp),
-        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        vert_cap, face_cap, ctypes.byref(nv), ctypes.byref(nf))
+    for _attempt in range(4):      # grow-and-retry on capacity overflow
+        face_cap = 4 * vert_cap
+        verts = np.empty((vert_cap, 3), np.float32)
+        cols = np.empty((vert_cap, 3), np.float32)
+        faces = np.empty((face_cap, 3), np.int32)
+        nv = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        rc = lib.ga_surface_nets(
+            tsdf_c.ctypes.data_as(fp),
+            col_c.ctypes.data_as(fp) if col_c is not None else None,
+            D, ctypes.c_float(bound),
+            verts.ctypes.data_as(fp),
+            cols.ctypes.data_as(fp),
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vert_cap, face_cap, ctypes.byref(nv), ctypes.byref(nf))
+        if rc == 0:
+            break
+        vert_cap *= 4
     if rc != 0:
         raise RuntimeError("ga_surface_nets: capacity exceeded")
     v = verts[: nv.value].copy()

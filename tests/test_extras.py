@@ -131,3 +131,38 @@ class TestDist:
         assert dist.get_world_size() == 1
         assert dist.is_main()
         assert dist.local_batch_slice(8) == slice(0, 8)
+
+
+class TestParamIO:
+    def test_npz_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from gaussiananything_tpu.utils.param_io import (load_params_npz,
+                                                         save_params_npz)
+        params = {"params": {"dense": {"kernel": jnp.ones((4, 3)),
+                                       "bias": jnp.zeros(3)}}}
+        p = str(tmp_path / "p.npz")
+        save_params_npz(p, params)
+        back = load_params_npz(p, template=params)
+        assert np.allclose(back["params"]["dense"]["kernel"], 1.0)
+
+    def test_torch_import_transpose(self):
+        import torch
+
+        from gaussiananything_tpu.utils.param_io import \
+            import_torch_state_dict
+        lin = torch.nn.Linear(4, 8)
+        sd = {k: v.detach().numpy() for k, v in lin.state_dict().items()}
+        template = {"params": {"proj": {
+            "kernel": np.zeros((4, 8), np.float32),
+            "bias": np.zeros((8,), np.float32)}}}
+
+        def name_map(n):
+            return {"weight": "params/proj/kernel",
+                    "bias": "params/proj/bias"}[n]
+
+        out = import_torch_state_dict(sd, name_map, template)
+        np.testing.assert_allclose(out["params"]["proj"]["kernel"],
+                                   sd["weight"].T)
+        np.testing.assert_allclose(out["params"]["proj"]["bias"], sd["bias"])
