@@ -55,6 +55,11 @@ class VAELossConfig:
     # set (128, 256, 384, 512) for release parity)
     lod_resolutions: Tuple[int, ...] = (64, 128, 192, 256)
     adv_weight: float = 0.0
+    # rand_base_render parity (`vit/vit_triplane.py:1550-1591`): per step
+    # supervise ONE random coarse LoD + the finest, instead of all LoDs —
+    # bounds render compute like the reference. Off by default (small
+    # ladders); enable for the release 4-LoD ladder.
+    rand_coarse_lod: bool = False
 
 
 def render_lods(lods, cam_view, cam_view_proj, tanfov, bg, resolutions,
@@ -95,34 +100,64 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     lods = out["lods"]
     n_lod = len(lods)
     bg = jnp.ones((3,), jnp.float32)
-    renders = render_lods(lods, batch["cam_view"], batch["cam_view_proj"],
-                          batch["tanfov"], bg, cfg.lod_resolutions[:n_lod])
 
     logs: Dict[str, jnp.ndarray] = {}
     total = 0.0
     # random LoD gets the perceptual term (`:2015-2111` random-LoD LPIPS)
     lpips_lod = jax.random.randint(rng_lod, (), 0, n_lod)
-    for i, (rend, res) in enumerate(zip(renders, cfg.lod_resolutions)):
+
+    def lod_loss(rend, res, i, log=True):
         gt_img = _resize_to(batch["images_sup"], res)
         gt_alpha = _resize_to(batch["alpha_sup"], res)
         rec = L.l1(rend["image"], gt_img)
         al = L.mse(rend["alpha"], gt_alpha)
-        total += cfg.l1_weight * rec + cfg.alpha_weight * al
-        logs[f"l1_lod{i}"] = rec
-        logs[f"alpha_lod{i}"] = al
+        sub = cfg.l1_weight * rec + cfg.alpha_weight * al
+        if log:
+            logs[f"l1_lod{i}"] = rec
+            logs[f"alpha_lod{i}"] = al
         if cfg.perceptual_weight > 0:
             B, V = gt_img.shape[:2]
             p = L.perceptual_loss(
                 rend["image"].reshape((B * V,) + rend["image"].shape[2:]),
                 gt_img.reshape((B * V,) + gt_img.shape[2:]))
-            total += jnp.where(lpips_lod == i, cfg.perceptual_weight, 0.0) * p
-            logs[f"lpips_lod{i}"] = p
+            sub += jnp.where(lpips_lod == i, cfg.perceptual_weight, 0.0) * p
+            if log:
+                logs[f"lpips_lod{i}"] = p
         if "depth_sup" in batch and cfg.depth_weight > 0:
             gt_d = _resize_to(batch["depth_sup"], res)
             dl = L.depth_loss_scale_invariant(
                 rend["depth"], gt_d, _resize_to(batch["alpha_sup"], res))
-            total += cfg.depth_weight * dl
-            logs[f"depth_lod{i}"] = dl
+            sub += cfg.depth_weight * dl
+            if log:
+                logs[f"depth_lod{i}"] = dl
+        return sub
+
+    def render_one(i):
+        return render_lods(lods[i:i + 1], batch["cam_view"],
+                           batch["cam_view_proj"], batch["tanfov"], bg,
+                           cfg.lod_resolutions[i:i + 1])[0]
+
+    if cfg.rand_coarse_lod and n_lod > 2:
+        # one random coarse LoD (scalar loss via lax.switch — branch output
+        # shapes must match, so each branch reduces to its own loss) + finest
+        coarse_idx = jax.random.randint(rng_lod, (), 0, n_lod - 1)
+        branches = [
+            (lambda i=i: lod_loss(render_one(i), cfg.lod_resolutions[i], i,
+                                  log=False))
+            for i in range(n_lod - 1)
+        ]
+        coarse = jax.lax.switch(coarse_idx, branches)
+        logs["coarse_lod_loss"] = coarse
+        total += coarse
+        renders = [render_one(n_lod - 1)]
+        total += lod_loss(renders[-1], cfg.lod_resolutions[n_lod - 1],
+                          n_lod - 1)
+    else:
+        renders = render_lods(lods, batch["cam_view"],
+                              batch["cam_view_proj"], batch["tanfov"], bg,
+                              cfg.lod_resolutions[:n_lod])
+        for i, (rend, res) in enumerate(zip(renders, cfg.lod_resolutions)):
+            total += lod_loss(rend, res, i)
 
     # KL on the bottleneck (finest-LoD step only in the reference; here the
     # single forward already covers it)

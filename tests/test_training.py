@@ -168,3 +168,30 @@ class TestSharding:
         # params stay replicated after the step
         leaf = jax.tree.leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestRandCoarseLoD:
+    def test_rand_lod_loss_runs(self):
+        """rand_base_render parity: one random coarse LoD + finest."""
+        from gaussiananything_tpu.data.synthetic import make_batch
+        from gaussiananything_tpu.models.vae import PointVAE
+        batch = make_batch(seed=0, batch=1, n_views_in=2, n_views_sup=2,
+                           res=32, n_pts=64, n_splats=128)
+        batch.pop("gt_gaussians")
+        model = PointVAE(latent_num=8, z_channels=4, encoder_width=64,
+                         decoder_width=64, decoder_depth=1, decoder_heads=4,
+                         up_factors=(2, 2), up_depths=(1, 1))
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, batch["images_in"], batch["pcd"], rng)
+        cfg = VAELossConfig(lod_resolutions=(16, 16, 32),
+                            perceptual_weight=0.0, rand_coarse_lod=True)
+        loss, (logs, renders, lods) = vae_loss_fn(
+            params, model, batch, rng, jnp.zeros((), jnp.int32), cfg)
+        assert np.isfinite(float(loss))
+        assert "coarse_lod_loss" in logs
+        assert "l1_lod2" in logs          # finest always supervised
+        # gradient flows through the switched coarse branch
+        g = jax.grad(lambda p: vae_loss_fn(
+            p, model, batch, rng, jnp.zeros((), jnp.int32), cfg)[0])(params)
+        assert np.isfinite(
+            float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))))
