@@ -459,7 +459,10 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
             spc = jax.tree.map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk,
                                                        0), tile_sp)
-            return composite_chunk(st, px, py, spc), None
+            # checkpoint: without it the scan backward stores every chunk's
+            # (P, K) intermediates — the dominant training-memory term
+            # (512 MB temps at vae-small/128²). Recompute instead.
+            return jax.checkpoint(composite_chunk)(st, px, py, spc), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(n_chunks))
         return _state_to_outputs(state, bg_color)
