@@ -258,16 +258,47 @@ def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None):
     return disc_step
 
 
-def microbatch_step(train_step, state, batch, rng, n_micro: int):
-    """Gradient accumulation via sequential micro-steps (the reference's
-    microbatch loop, `nsr/train_util.py:95`). For simplicity each micro batch
-    does its own optimiser step scaled by 1/n via lr — for true accumulation
-    use `jax.lax.scan` over grads; provided for API parity."""
-    logs = None
-    for i in range(n_micro):
-        sub = jax.tree.map(lambda x: x[i::n_micro], batch)
-        state, logs = train_step(state, sub, jax.random.fold_in(rng, i))
-    return state, logs
+def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
+                          tx_cfg=None, disc_model=None):
+    """TRUE gradient accumulation (the reference's microbatch loop,
+    `nsr/train_util.py:95`): grads averaged over n_micro sequential
+    micro-slices via `lax.scan`, ONE optimiser step. The batch's leading
+    dim must be divisible by n_micro; peak memory is one micro-batch's
+    activations (the scan re-uses buffers)."""
+    from gaussiananything_tpu.train.state import TrainStateConfig
+    tx = make_optimizer(tx_cfg or TrainStateConfig())
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng, disc_params=None):
+        def micro(b, key):
+            def loss(p):
+                return vae_loss_fn(p, model, b, key, state.step, cfg,
+                                   disc_params, disc_model)
+
+            (_, (logs, _, _)), grads = jax.value_and_grad(
+                loss, has_aux=True)(state.params)
+            return grads, logs
+
+        def body(carry, i):
+            acc = carry
+            sub = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, i * (x.shape[0] // n_micro),
+                    x.shape[0] // n_micro, 0)
+                if x.ndim > 0 else x, batch)
+            g, logs = micro(sub, jax.random.fold_in(rng, i))
+            acc = jax.tree.map(jnp.add, acc, g)
+            return acc, logs
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        acc, logs_all = jax.lax.scan(body, zero, jnp.arange(n_micro))
+        grads = jax.tree.map(lambda a: a / n_micro, acc)
+        new_state = state.apply_gradients(grads, tx)
+        logs = jax.tree.map(lambda a: jnp.mean(a), logs_all)
+        logs["grad_norm"] = optax_global_norm(grads)
+        return new_state, logs
+
+    return train_step
 
 
 def optax_global_norm(tree) -> jnp.ndarray:

@@ -195,3 +195,42 @@ class TestRandCoarseLoD:
             p, model, batch, rng, jnp.zeros((), jnp.int32), cfg)[0])(params)
         assert np.isfinite(
             float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))))
+
+
+class TestGradAccumulation:
+    def test_accum_matches_manual_average(self, tiny_setup):
+        from gaussiananything_tpu.train.vae_trainer import \
+            make_accum_train_step
+        from gaussiananything_tpu.data.synthetic import make_batch
+        model, params, _ = tiny_setup
+        batch = make_batch(seed=3, batch=2, n_views_in=2, n_views_sup=2,
+                           res=32, n_pts=128, n_splats=256)
+        batch.pop("gt_gaussians")
+        cfg = VAELossConfig(lod_resolutions=(16, 32), perceptual_weight=0.0)
+        tx_cfg = TrainStateConfig(lr=1e-3, warmup_steps=1)
+        rng = jax.random.PRNGKey(0)
+
+        # manual: average grads of the two singleton micro-batches
+        manual = None
+        for i in range(2):
+            sub = jax.tree.map(
+                lambda x: x[i:i + 1] if getattr(x, "ndim", 0) > 0 else x,
+                batch)
+            g = jax.grad(lambda p: vae_loss_fn(
+                p, model, sub, jax.random.fold_in(rng, i),
+                jnp.zeros((), jnp.int32), cfg)[0])(params)
+            manual = g if manual is None else jax.tree.map(
+                lambda a, b: a + b, manual, g)
+        manual = jax.tree.map(lambda a: a / 2, manual)
+
+        step_fn = make_accum_train_step(model, cfg, n_micro=2,
+                                        tx_cfg=tx_cfg)
+        state = TrainState.create(params, make_optimizer(tx_cfg))
+        new_state, logs = step_fn(state, batch, rng)
+        assert np.isfinite(float(logs["total"]))
+        # the accumulated grad norm should match the manual average's norm
+        from gaussiananything_tpu.train.vae_trainer import optax_global_norm
+        np.testing.assert_allclose(float(logs["grad_norm"]),
+                                   float(optax_global_norm(manual)),
+                                   rtol=1e-4)
+        assert int(new_state.step) == 1
