@@ -531,3 +531,189 @@ def rasterize_tiled_pallas_grouped(
         "dist": detile(out[:, :, 6]),
         "normal_view": detile(out[:, :, 7:10]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Kernel v3: v1's 2-D per-tile body, G tiles unrolled per program.
+#
+# Empirics on v5e: v1's 4096 one-tile programs are grid-overhead-bound
+# (~100 µs/program) and v2's 3-D blocks stall the remote Mosaic compiler.
+# v3 keeps the 2-D (P, chunk) math that compiles fast and simply unrolls G
+# tiles inside one program, cutting grid steps by G while preserving the
+# per-tile dynamic chunk bound (count skipping).
+# ---------------------------------------------------------------------------
+
+
+def _make_unrolled_kernel(tile: int, chunk: int, max_per_tile: int,
+                          tiles_x: int, group: int):
+    P = tile * tile
+    n_chunks_max = max_per_tile // chunk
+
+    def kernel(scal_ref, geom_ref, feat_ref, out_ref):
+        g = pl.program_id(0)
+        row0 = scal_ref[pl.num_programs(0) * group]
+
+        for j in range(group):                       # static unroll
+            tile_id = g * group + j
+            count = scal_ref[tile_id]
+            ty = (tile_id // tiles_x).astype(jnp.float32)
+            tx = (tile_id % tiles_x).astype(jnp.float32)
+            pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            lx = (pix % tile).astype(jnp.float32)
+            ly = (pix // tile).astype(jnp.float32)
+            px = tx * tile + lx
+            py = ty * tile + ly + row0.astype(jnp.float32)
+
+            n_chunks = jnp.minimum(
+                jax.lax.div(count + chunk - 1, chunk), n_chunks_max)
+
+            def chunk_step(c, carry, j=j, px=px, py=py, count=count):
+                (trans, rgb, alpha_acc, depth_exp, depth_med, normal) = carry
+                sl = pl.ds(c * chunk, chunk)
+                geom = geom_ref[j, sl, :]
+                feat = feat_ref[j, sl, :]
+
+                def col(i):
+                    return geom[:, i].reshape(1, chunk)
+
+                k0 = px * col(6) - col(0)
+                k1 = px * col(7) - col(1)
+                k2 = px * col(8) - col(2)
+                l0 = py * col(6) - col(3)
+                l1 = py * col(7) - col(4)
+                l2 = py * col(8) - col(5)
+                p0 = k1 * l2 - k2 * l1
+                p1 = k2 * l0 - k0 * l2
+                p2 = k0 * l1 - k1 * l0
+                safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+                u = p0 / safe
+                v = p1 / safe
+                rho3d = u * u + v * v
+                z_int = u * col(9) + v * col(10) + col(11)
+                dx = px - col(12)
+                dy = py - col(13)
+                rho2d = rz.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+                rho = jnp.minimum(rho3d, rho2d)
+                depth = jnp.where(rho3d <= rho2d, z_int, col(14))
+                gau = jnp.exp(-0.5 * rho)
+                alpha = jnp.minimum(col(15) * gau, rz.ALPHA_MAX)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+                keep = ((alpha >= ALPHA_EPS) & (depth > NEAR_CULL)
+                        & ((c * chunk + lane) < count))
+                alpha = jnp.where(keep, alpha, 0.0)
+                depth = jnp.where(keep, depth, 0.0)
+
+                log1m = jnp.log1p(-alpha)
+                cums = _lane_cumsum(log1m)
+                t_excl = jnp.exp(cums - log1m)
+                t_in = trans * t_excl
+                alpha = jnp.where(t_in > T_EPS, alpha, 0.0)
+                log1m = jnp.log1p(-alpha)
+                cums = _lane_cumsum(log1m)
+                t_excl = jnp.exp(cums - log1m)
+                w = trans * alpha * t_excl
+
+                acc = jnp.dot(w, feat, preferred_element_type=jnp.float32)
+                rgb = rgb + acc[:, 0:3]
+                normal = normal + acc[:, 3:6]
+                alpha_acc = alpha_acc + acc[:, 6:7]
+                depth_exp = depth_exp + jnp.sum(w * depth, axis=1,
+                                                keepdims=True)
+                t_after = trans * jnp.exp(cums)
+                crossed = (t_in > 0.5) & (t_after <= 0.5)
+                depth_med = depth_med + jnp.sum(
+                    jnp.where(crossed, depth, 0.0), axis=1, keepdims=True)
+                trans = trans * jnp.exp(cums[:, chunk - 1:chunk])
+                return (trans, rgb, alpha_acc, depth_exp, depth_med, normal)
+
+            z1 = jnp.zeros((P, 1), jnp.float32)
+            z3 = jnp.zeros((P, 3), jnp.float32)
+            init = (jnp.ones((P, 1), jnp.float32), z3, z1, z1, z1, z3)
+            (trans, rgb, alpha_acc, depth_exp, depth_med,
+             normal) = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+
+            out_ref[j, :, 0:3] = rgb
+            out_ref[j, :, 3:4] = alpha_acc
+            out_ref[j, :, 4:5] = depth_exp
+            out_ref[j, :, 5:6] = depth_med
+            out_ref[j, :, 6:7] = jnp.zeros((P, 1), jnp.float32)
+            out_ref[j, :, 7:10] = normal
+            out_ref[j, :, 10:11] = trans
+            out_ref[j, :, 11:16] = jnp.zeros((P, 5), jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "group", "full_h"))
+def rasterize_tiled_pallas_v3(
+        gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+        cam_view_proj: jnp.ndarray, tanfov, bg_color: jnp.ndarray,
+        img_h: int, img_w: int, tile: int = 8, max_per_tile: int = 512,
+        chunk: int = 128, group: int = 8, full_h: int = 0,
+        row0=0) -> Dict[str, jnp.ndarray]:
+    """G-unrolled fast-forward path (no 'dist'; count-sorted groups)."""
+    assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
+    sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
+                              full_h or img_h, img_w, tanfov)
+    lists, counts = rz.build_tile_lists(sp, img_h, img_w, tile, max_per_tile,
+                                        row0=row0)
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    P = tile * tile
+    assert n_tiles % group == 0
+
+    sp_pad = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0), sp)
+    sp_pad = sp_pad._replace(valid=sp_pad.valid.at[-1].set(False))
+    geom, feat = pack_tile_inputs(sp_pad, lists)
+
+    # NOTE: px/py derive from the ORIGINAL tile id inside the kernel, so no
+    # count sorting here (sorting would need an id indirection table; the
+    # unroll already amortises grid overhead).
+    scalars = jnp.concatenate(
+        [counts.astype(jnp.int32),
+         jnp.asarray(row0, jnp.int32).reshape(1)])
+
+    kernel = _make_unrolled_kernel(tile, chunk, max_per_tile, tiles_x, group)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // group,),
+        in_specs=[
+            pl.BlockSpec((group, max_per_tile, 16),
+                         lambda g, s: (g, 0, 0)),
+            pl.BlockSpec((group, max_per_tile, 8),
+                         lambda g, s: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, P, 16), lambda g, s: (g, 0, 0)),
+    )
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, geom, feat)
+
+    def detile(a):
+        c_shape = a.shape[2:]
+        a = a.reshape(tiles_y, tiles_x, tile, tile, *c_shape)
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(img_h, img_w, *c_shape)
+
+    trans = detile(out[:, :, 10])
+    return {
+        "image": detile(out[:, :, 0:3]) + trans[..., None] * bg_color,
+        "alpha": detile(out[:, :, 3]),
+        "depth_expected": detile(out[:, :, 4]),
+        "depth_median": detile(out[:, :, 5]),
+        "dist": detile(out[:, :, 6]),
+        "normal_view": detile(out[:, :, 7:10]),
+    }

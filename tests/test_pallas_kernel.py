@@ -80,3 +80,20 @@ def test_grouped_kernel_matches_xla_interpret():
               "normal_view"]:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    atol=5e-3, err_msg=k)
+
+
+@pytest.mark.slow
+def test_v3_kernel_matches_xla_interpret():
+    from gaussiananything_tpu.ops.rasterize_pallas import \
+        rasterize_tiled_pallas_v3
+    g, cam = setup_scene(n=512, img=64)
+    bg = jnp.ones(3)
+    ref = rz.rasterize_tiled(g, cam["cam_view"], cam["cam_view_proj"],
+                             cam["tanfov"], bg, 64, 64, tile=8,
+                             max_per_tile=256, chunk=64, tile_group=16)
+    got = rasterize_tiled_pallas_v3(
+        g, cam["cam_view"], cam["cam_view_proj"], cam["tanfov"], bg, 64,
+        64, tile=8, max_per_tile=256, chunk=64, group=8)
+    for k in ["image", "alpha", "depth_median"]:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=5e-3, err_msg=k)
