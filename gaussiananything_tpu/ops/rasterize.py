@@ -206,15 +206,16 @@ def composite_chunk(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     log1m = jnp.log1p(-alpha)
     cums = jnp.cumsum(log1m, axis=1)
     t_excl = jnp.exp(cums - log1m)                         # Π_{j<i} (1-α_j)
-    # Stop compositing once transmittance dropped below T_EPS (matches the
-    # CUDA early-exit semantics exactly, not just approximately).
+    # Stop compositing once transmittance dropped below T_EPS (CUDA
+    # early-exit). Pruning the weights directly is numerically equivalent
+    # to re-running the prefix scan with pruned alphas for every weight
+    # (later splats are below threshold either way); only the residual
+    # transmittance hitting the background differs, by ≤ T_EPS.
     t_in = state.trans[:, None] * t_excl
-    alpha = jnp.where(t_in > T_EPS, alpha, 0.0)
-    # recompute with the pruned alphas
-    log1m = jnp.log1p(-alpha)
-    cums = jnp.cumsum(log1m, axis=1)
-    t_excl = jnp.exp(cums - log1m)
-    w = state.trans[:, None] * alpha * t_excl              # (P, K)
+    below = t_in <= T_EPS
+    alpha = jnp.where(below, 0.0, alpha)
+    w = jnp.where(below, 0.0,
+                  state.trans[:, None] * alpha * t_excl)   # (P, K)
 
     feats = jnp.concatenate([sp.rgb, sp.normal_view], -1)  # (K, 6)
     acc = w @ feats                                        # (P, 6) — MXU
