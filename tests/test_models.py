@@ -218,3 +218,36 @@ class TestTransport:
         v = guided(jnp.zeros((1, 4, 3)), jnp.zeros((1,)))
         # 1 + 3*(2-1) = 4
         np.testing.assert_allclose(np.asarray(v), 4.0)
+
+
+class TestSamplers:
+    def test_sde_recovers_shift(self):
+        from gaussiananything_tpu.diffusion.sampling import sample_sde
+        shift = jnp.array([1.0, -2.0, 3.0])
+        v_fn = lambda x, t: jnp.broadcast_to(shift, x.shape)  # noqa: E731
+        x0 = jnp.zeros((4, 8, 3))
+        x1 = sample_sde(v_fn, None, x0, jax.random.PRNGKey(0),
+                        num_steps=64, diffusion=0.3)
+        # mean transported by the drift; noise averages out over batch
+        err = np.abs(np.asarray(x1).mean(axis=(0, 1)) - np.asarray(shift))
+        assert (err < 0.25).all(), err
+
+    def test_adaptive_matches_fixed_step(self):
+        from gaussiananything_tpu.diffusion.sampling import (
+            sample_ode, sample_ode_adaptive)
+
+        # smooth linear velocity field: v = -x + c (analytic solution)
+        c = jnp.array([0.5, -1.0, 2.0])
+
+        def v_fn(x, t):
+            return -x + c
+
+        x0 = jnp.ones((2, 4, 3))
+        fixed = sample_ode(v_fn, x0, num_steps=256, method="heun")
+        adaptive = sample_ode_adaptive(v_fn, x0, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(adaptive), np.asarray(fixed),
+                                   atol=1e-3)
+        # analytic: x(1) = c + (x0 - c) e^{-1}
+        expect = np.asarray(c) + (1 - np.asarray(c)) * np.exp(-1)
+        np.testing.assert_allclose(np.asarray(adaptive)[0, 0], expect,
+                                   atol=1e-3)
