@@ -84,30 +84,46 @@ def sample_ode_adaptive(velocity_fn: Callable, x0: jnp.ndarray,
     return out[-1]
 
 
-def sample_sde(velocity_fn: Callable, score_scale_fn: Optional[Callable],
-               x0: jnp.ndarray, rng, num_steps: int = 250,
-               diffusion: float = 1.0) -> jnp.ndarray:
-    """Euler–Maruyama SDE sampler (parity `transport/integrators.py:8-40`).
+def sample_sde(velocity_fn: Callable, x0: jnp.ndarray, rng,
+               path: Optional["Path"] = None, num_steps: int = 250,
+               diffusion_form: str = "sbdm", diffusion_norm: float = 1.0,
+               last_step_size: float = 0.04, t0: float = 4e-3) -> jnp.ndarray:
+    """Euler–Maruyama SDE sampler with the exact score-corrected drift.
 
-    Uses the velocity field as drift plus a simple time-decayed diffusion
-    term; the last step is noise-free (standard EM practice).
+    Parity with `transport/transport.py:268-363` + `transport/integrators.py:29-37`:
+      score = score_from_velocity(v, x, t)      (change of variables)
+      drift = v + w(t)·score,  dx = drift·dt + √(2·w(t))·dW
+    so the injected noise preserves the flow's marginals. Integrates
+    t ∈ [t0, 1 − last_step_size] with num_steps−1 EM steps, then the
+    reference's default "Mean" last step: x += drift·last_step_size
+    (noise-free).
     """
-    B = x0.shape[0]
-    dt = 1.0 / num_steps
+    from gaussiananything_tpu.diffusion.transport import (
+        Path, gvp_path, score_from_velocity, sde_diffusion)
+    if path is None:
+        path = gvp_path()
 
-    def step(carry, i):
-        x, key = carry
-        key, sub = jax.random.split(key)
-        t = i * dt
+    B = x0.shape[0]
+    t1 = 1.0 - last_step_size
+    ts = jnp.linspace(t0, t1, num_steps)
+    dt = (t1 - t0) / (num_steps - 1)
+
+    def drift_fn(x, t):
         tb = jnp.full((B,), t)
         v = velocity_fn(x, tb)
-        g = diffusion * (1.0 - t)
+        score = score_from_velocity(path, v, x, tb)
+        w = sde_diffusion(path, t, form=diffusion_form, norm=diffusion_norm)
+        return v + w * score, w
+
+    def step(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        drift, w = drift_fn(x, t)
         noise = jax.random.normal(sub, x.shape, x.dtype)
-        is_last = i == num_steps - 1
-        x = x + dt * v + jnp.where(is_last, 0.0,
-                                   g * jnp.sqrt(dt)) * noise
+        x = x + dt * drift + jnp.sqrt(2.0 * w * dt) * noise
         return (x, key), None
 
-    (x, _), _ = jax.lax.scan(step, (x0, rng),
-                             jnp.arange(num_steps, dtype=jnp.float32))
-    return x
+    (x, _), _ = jax.lax.scan(step, (x0, rng), ts[:-1])
+    # "Mean" last step (`transport/transport.py:303-306`).
+    drift, _ = drift_fn(x, t1)
+    return x + last_step_size * drift

@@ -103,3 +103,51 @@ class Transport(NamedTuple):
 def create_transport(path_type: str = "gvp", t_sampler: str = "uniform"
                      ) -> Transport:
     return Transport(path=PATHS[path_type](), t_sampler=t_sampler)
+
+
+# ---------------------------------------------------------------------------
+# Score / diffusion algebra for SDE sampling (exact parity with the
+# reference's `transport/path.py:35-80` ICPlan methods).
+# ---------------------------------------------------------------------------
+
+def _expand_t(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return t.reshape((t.shape[0],) + (1,) * (x.ndim - 1))
+
+
+def score_from_velocity(path: Path, v: jnp.ndarray, x: jnp.ndarray,
+                        t: jnp.ndarray) -> jnp.ndarray:
+    """∇log p_t(x) from a velocity prediction.
+
+    Exact change of variables (`transport/path.py:70-80`):
+      x_t = α x1 + σ x0,  v = α̇ x1 + σ̇ x0, x0 ~ N(0, I)
+      score = ((α/α̇)·v − x) / (σ² − (α/α̇)·σ̇·σ).
+    For GVP the denominator is identically 1; for linear it is (1−t)/t·…
+    — always finite for t ∈ (0, 1).
+    """
+    t = _expand_t(t, x)
+    a, da = path.alpha(t), path.d_alpha(t)
+    s, ds = path.sigma(t), path.d_sigma(t)
+    rar = a / da                       # reverse alpha ratio
+    var = s * s - rar * ds * s
+    return (rar * v - x) / var
+
+
+def sde_diffusion(path: Path, t: jnp.ndarray, form: str = "sbdm",
+                  norm: float = 1.0) -> jnp.ndarray:
+    """Diffusion coefficient w(t) of the marginal-preserving reverse SDE
+    (`transport/path.py:45-68` `compute_diffusion`).
+
+    'sbdm' (reference default): w = (α̇/α)·σ² − σ·σ̇ — the score weight for
+    which dx = [v + w·score] dt + √(2w) dW preserves the flow's marginals.
+    """
+    a, da = path.alpha(t), path.d_alpha(t)
+    s, ds = path.sigma(t), path.d_sigma(t)
+    if form == "sbdm":
+        return norm * ((da / a) * s * s - s * ds)
+    if form == "sigma":
+        return norm * s
+    if form == "linear":
+        return norm * (1.0 - t)
+    if form == "constant":
+        return jnp.full_like(t, norm)
+    raise NotImplementedError(f"diffusion form {form!r}")

@@ -300,10 +300,13 @@ def rasterize_tiled_fused(gaussians, cam_view, cam_view_proj, tanfov,
 
     @jax.custom_vjp
     def _render(g):
+        # with_aux=True: the backward differentiates the XLA path, whose
+        # 'dist' channel is real — the forward must produce it too, or a
+        # loss reading 'dist' would see zero value with nonzero gradients.
         return rasterize_tiled_pallas(
             g, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
             tile=tile, max_per_tile=max_per_tile, chunk=chunk,
-            full_h=full_h, row0=row0)
+            full_h=full_h, row0=row0, with_aux=True)
 
     def _fwd(g):
         return _render(g), g

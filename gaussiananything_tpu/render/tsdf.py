@@ -41,6 +41,31 @@ def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
 
     H, W = depths.shape[-2:]
 
+    def bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
+                 ) -> jnp.ndarray:
+        """Sample (C, H, W) at continuous pixel coords → (N, C).
+
+        Bilinear interpolation with edge clamping — matches Open3D's TSDF
+        image sampling (`nsr/lsgm/flow_matching_trainer.py:1338-1343` uses
+        o3d integrate); corners are validity-weighted by the caller's
+        `seen` test, so depth-edge ghosts get culled by the alpha gate.
+        """
+        u0 = jnp.floor(u)
+        v0 = jnp.floor(v)
+        fu = u - u0
+        fv = v - v0
+        u0i = jnp.clip(u0.astype(jnp.int32), 0, W - 1)
+        u1i = jnp.clip(u0i + 1, 0, W - 1)
+        v0i = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
+        v1i = jnp.clip(v0i + 1, 0, H - 1)
+        w00 = (1 - fu) * (1 - fv)
+        w10 = fu * (1 - fv)
+        w01 = (1 - fu) * fv
+        w11 = fu * fv
+        g = (img[:, v0i, u0i] * w00 + img[:, v0i, u1i] * w10
+             + img[:, v1i, u0i] * w01 + img[:, v1i, u1i] * w11)
+        return g.T                                       # (N, C)
+
     def integrate_one(carry, inp):
         tsdf, weight, color = carry
         depth, rgb, alpha, cv = inp
@@ -50,12 +75,10 @@ def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
         py = view[:, 1] / (z * tanfov)
         u = ((px + 1) * 0.5 * W - 0.5)
         v = ((py + 1) * 0.5 * H - 0.5)
-        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
-        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
         in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0.05)
-        d_px = depth[0, vi, ui]
-        a_px = alpha[0, vi, ui]
-        rgb_px = rgb[:, vi, ui].T                        # (N, 3)
+        d_px = bilinear(depth, u, v)[:, 0]
+        a_px = bilinear(alpha, u, v)[:, 0]
+        rgb_px = bilinear(rgb, u, v)                     # (N, 3)
         seen = in_img & (a_px > alpha_thres) & (d_px > 0.05)
         sdf = d_px - z
         w_new = jnp.where(seen & (sdf > -trunc), 1.0, 0.0)

@@ -50,9 +50,9 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
     'cond' conditioner input (images (B,3,H,W) or token ids);
     stage-2 additionally 'xyz' (B, N, 3).
     """
-    tx = make_optimizer(tx_cfg or TrainStateConfig())
-    # embedder group at 0.5× lr (`flow_matching_trainer.py:374-399`)
     base = tx_cfg or TrainStateConfig()
+    tx = make_optimizer(base)
+    # embedder group at 0.5× lr (`flow_matching_trainer.py:374-399`)
     cond_tx = make_optimizer(dataclasses.replace(base, lr=base.lr * 0.5))
 
     @jax.jit
@@ -79,9 +79,11 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
             loss, argnums=(0, 1), has_aux=True)(
                 state.params, cond_state.params)
         g_dit, g_cond = grads
-        new_state = state.apply_gradients(g_dit, tx)
+        new_state = state.apply_gradients(g_dit, tx,
+                                          ema_decay=base.ema_decay)
         if train_conditioner:
-            new_cond = cond_state.apply_gradients(g_cond, cond_tx)
+            new_cond = cond_state.apply_gradients(
+                g_cond, cond_tx, ema_decay=base.ema_decay)
         else:
             new_cond = cond_state
         logs = {"fm_loss": l, "t_mean": jnp.mean(aux["t"])}

@@ -24,19 +24,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _masked_mean(d: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of `d` over elements where the (broadcastable) mask is on.
+
+    Layout-agnostic: the element count is the sum of the mask broadcast to
+    the full elementwise shape, so a (B, V, 1, H, W) mask against a
+    (B, V, 3, H, W) image normalises correctly regardless of which axis is
+    the channel.
+    """
+    shape = jnp.broadcast_shapes(d.shape, mask.shape)
+    m = jnp.broadcast_to(mask, shape)
+    return jnp.sum(d * m) / (jnp.sum(m) + 1e-8)
+
+
 def l1(a, b, mask=None):
     d = jnp.abs(a - b)
     if mask is not None:
-        return jnp.sum(d * mask) / (jnp.sum(mask) * d.shape[1] /
-                                    max(mask.shape[1], 1) + 1e-8)
+        return _masked_mean(d, mask)
     return jnp.mean(d)
 
 
 def mse(a, b, mask=None):
     d = (a - b) ** 2
     if mask is not None:
-        return jnp.sum(d * mask) / (jnp.sum(mask) * d.shape[1] /
-                                    max(mask.shape[1], 1) + 1e-8)
+        return _masked_mean(d, mask)
     return jnp.mean(d)
 
 

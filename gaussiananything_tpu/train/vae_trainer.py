@@ -103,7 +103,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
       images_sup  (B, V_sup, 3, H, W), alpha_sup (B, V_sup, 1, H, W)
       depth_sup   (B, V_sup, 1, H, W)  (optional; zeros + mask off)
     """
-    rng_s, rng_lod = jax.random.split(rng)
+    rng_s, rng_lpips, rng_coarse = jax.random.split(rng, 3)
     out = model.apply(params, batch["images_in"], batch["pcd"], rng_s)
     lods = out["lods"]
     n_lod = len(lods)
@@ -112,7 +112,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     logs: Dict[str, jnp.ndarray] = {}
     total = 0.0
     # random LoD gets the perceptual term (`:2015-2111` random-LoD LPIPS)
-    lpips_lod = jax.random.randint(rng_lod, (), 0, n_lod)
+    lpips_lod = jax.random.randint(rng_lpips, (), 0, n_lod)
 
     def lod_loss(rend, res, i, log=True):
         gt_img = _resize_to(batch["images_sup"], res)
@@ -148,7 +148,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     if cfg.rand_coarse_lod and n_lod > 2:
         # one random coarse LoD (scalar loss via lax.switch — branch output
         # shapes must match, so each branch reduces to its own loss) + finest
-        coarse_idx = jax.random.randint(rng_lod, (), 0, n_lod - 1)
+        coarse_idx = jax.random.randint(rng_coarse, (), 0, n_lod - 1)
         branches = [
             (lambda i=i: lod_loss(render_one(i), cfg.lod_resolutions[i], i,
                                   log=False))
@@ -211,7 +211,8 @@ def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
                     disc_model=None):
     """Returns a jittable train_step(state, batch, rng) → (state, logs)."""
     from gaussiananything_tpu.train.state import TrainStateConfig
-    tx = make_optimizer(tx_cfg or TrainStateConfig())
+    tx_cfg = tx_cfg or TrainStateConfig()
+    tx = make_optimizer(tx_cfg)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng,
@@ -222,7 +223,8 @@ def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
 
         (_, (logs, _, _)), grads = jax.value_and_grad(
             loss, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads, tx)
+        new_state = state.apply_gradients(grads, tx,
+                                          ema_decay=tx_cfg.ema_decay)
         logs["grad_norm"] = optax_global_norm(grads)
         return new_state, logs
 
@@ -233,7 +235,8 @@ def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None):
     """Discriminator step: hinge loss on real vs rendered images
     (`nsr/train_nv_util.py:2877-3014` d_step, every other run_loop)."""
     from gaussiananything_tpu.train.state import TrainStateConfig
-    tx = make_optimizer(tx_cfg or TrainStateConfig())
+    tx_cfg = tx_cfg or TrainStateConfig()
+    tx = make_optimizer(tx_cfg)
 
     @jax.jit
     def disc_step(disc_state: TrainState, gen_params, batch, rng):
@@ -252,7 +255,8 @@ def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None):
             return L.hinge_d_loss(lr, lf)
 
         d_loss, grads = jax.value_and_grad(loss)(disc_state.params)
-        new_state = disc_state.apply_gradients(grads, tx)
+        new_state = disc_state.apply_gradients(grads, tx,
+                                               ema_decay=tx_cfg.ema_decay)
         return new_state, {"d_loss": d_loss}
 
     return disc_step
@@ -266,7 +270,8 @@ def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
     dim must be divisible by n_micro; peak memory is one micro-batch's
     activations (the scan re-uses buffers)."""
     from gaussiananything_tpu.train.state import TrainStateConfig
-    tx = make_optimizer(tx_cfg or TrainStateConfig())
+    tx_cfg = tx_cfg or TrainStateConfig()
+    tx = make_optimizer(tx_cfg)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng, disc_params=None):
@@ -293,7 +298,8 @@ def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
         zero = jax.tree.map(jnp.zeros_like, state.params)
         acc, logs_all = jax.lax.scan(body, zero, jnp.arange(n_micro))
         grads = jax.tree.map(lambda a: a / n_micro, acc)
-        new_state = state.apply_gradients(grads, tx)
+        new_state = state.apply_gradients(grads, tx,
+                                          ema_decay=tx_cfg.ema_decay)
         logs = jax.tree.map(lambda a: jnp.mean(a), logs_all)
         logs["grad_norm"] = optax_global_norm(grads)
         return new_state, logs

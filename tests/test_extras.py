@@ -166,3 +166,63 @@ class TestParamIO:
         np.testing.assert_allclose(out["params"]["proj"]["kernel"],
                                    sd["weight"].T)
         np.testing.assert_allclose(out["params"]["proj"]["bias"], sd["bias"])
+
+
+class TestMaskedLosses:
+    def test_masked_mean_layout_agnostic(self):
+        """Masked l1/mse must normalise by the true masked element count
+        regardless of where the channel axis sits (the round-1 version used
+        the ad-hoc shape[1] ratio, wrong for (B, V, C, H, W) layouts)."""
+        import jax.numpy as jnp
+        from gaussiananything_tpu.train import losses as L
+
+        rng = np.random.RandomState(0)
+        a = jnp.asarray(rng.rand(2, 4, 3, 8, 8).astype(np.float32))
+        b = jnp.zeros_like(a)
+        mask = jnp.asarray(
+            (rng.rand(2, 4, 1, 8, 8) > 0.5).astype(np.float32))
+        got = float(L.l1(a, b, mask))
+        m = np.broadcast_to(np.asarray(mask), a.shape)
+        want = (np.abs(np.asarray(a)) * m).sum() / m.sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        got2 = float(L.mse(a, b, mask))
+        want2 = ((np.asarray(a) ** 2) * m).sum() / m.sum()
+        np.testing.assert_allclose(got2, want2, rtol=1e-5)
+
+    def test_mask_all_on_equals_mean(self):
+        import jax.numpy as jnp
+        from gaussiananything_tpu.train import losses as L
+        a = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+        b = jnp.ones_like(a)
+        mask = jnp.ones((2, 1, 4))
+        np.testing.assert_allclose(float(L.l1(a, b, mask)),
+                                   float(L.l1(a, b)), rtol=1e-6)
+
+
+class TestEMADecayThreading:
+    def test_configured_ema_decay_takes_effect(self):
+        """tx_cfg.ema_decay must actually change the EMA update (round-1:
+        apply_gradients hardcoded 0.9999 and no caller passed the config)."""
+        import jax
+        import jax.numpy as jnp
+        from gaussiananything_tpu.train.state import (
+            TrainState, TrainStateConfig, make_optimizer)
+
+        params = {"w": jnp.ones((4,))}
+        cfg = TrainStateConfig(lr=0.1, warmup_steps=1)
+        tx = make_optimizer(cfg)
+        st = TrainState.create(params, tx)
+        grads = {"w": jnp.ones((4,))}
+        # one throwaway step: the linear warmup gives lr=0 at count 0
+        st = st.apply_gradients(grads, tx)
+        # advance past the (1+step)/(10+step) ramp so decay is the cap
+        import dataclasses as dc
+        st = dc.replace(st, step=jnp.asarray(10**6, jnp.int32))
+        s_low = st.apply_gradients(grads, tx, ema_decay=0.5)
+        s_high = st.apply_gradients(grads, tx, ema_decay=0.9999)
+        d_low = float(jnp.abs(s_low.ema_params["w"]
+                              - st.ema_params["w"]).sum())
+        d_high = float(jnp.abs(s_high.ema_params["w"]
+                               - st.ema_params["w"]).sum())
+        assert d_low > d_high * 10

@@ -221,16 +221,37 @@ class TestTransport:
 
 
 class TestSamplers:
-    def test_sde_recovers_shift(self):
+    def test_sde_preserves_marginals(self):
+        """Score-corrected SDE must reproduce the flow's marginals.
+
+        Data = the single point mu under the linear path, so the true
+        velocity field is v(x,t) = mu - (x - t*mu)/(1-t) and the marginal
+        at time t is N(t*mu, (1-t)^2 I). After the EM integration to
+        t1 = 1 - h and the "Mean" last step x += drift*h, the analytic
+        output law is N(mu, (h*(1 + h/t1))^2 I). An SDE sampler whose
+        noise is NOT balanced by the diffusion*score drift (the round-1
+        bug) lands far over-dispersed — this pins the exact parity with
+        `transport/transport.py:268-306`.
+        """
         from gaussiananything_tpu.diffusion.sampling import sample_sde
-        shift = jnp.array([1.0, -2.0, 3.0])
-        v_fn = lambda x, t: jnp.broadcast_to(shift, x.shape)  # noqa: E731
-        x0 = jnp.zeros((4, 8, 3))
-        x1 = sample_sde(v_fn, None, x0, jax.random.PRNGKey(0),
-                        num_steps=64, diffusion=0.3)
-        # mean transported by the drift; noise averages out over batch
-        err = np.abs(np.asarray(x1).mean(axis=(0, 1)) - np.asarray(shift))
-        assert (err < 0.25).all(), err
+        from gaussiananything_tpu.diffusion.transport import linear_path
+
+        mu = jnp.array([1.0, -2.0, 3.0])
+
+        def v_fn(x, t):
+            tb = t.reshape((-1,) + (1,) * (x.ndim - 1))
+            return mu - (x - tb * mu) / (1.0 - tb)
+
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (4096, 1, 3))
+        h = 0.04
+        x1 = sample_sde(v_fn, x0, jax.random.PRNGKey(0), path=linear_path(),
+                        num_steps=256, last_step_size=h)
+        x1 = np.asarray(x1).reshape(-1, 3)
+        t1 = 1.0 - h
+        sigma_final = h * (1.0 + h / t1)
+        np.testing.assert_allclose(x1.mean(axis=0), np.asarray(mu), atol=0.01)
+        np.testing.assert_allclose(x1.std(axis=0),
+                                   sigma_final, rtol=0.2)
 
     def test_adaptive_matches_fixed_step(self):
         from gaussiananything_tpu.diffusion.sampling import (
