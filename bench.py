@@ -37,7 +37,7 @@ def main():
             cam["cam_view_proj"][None, None],
             jnp.broadcast_to(cam["tanfov"], (1, 1)),
             jnp.ones((1, 1, 3)), res,
-            tile=8, max_per_tile=512, chunk=128, tile_group=128)["image"]
+            tile=16, max_per_tile=2048, chunk=256, tile_group=16)["image"]
 
     jit_render = jax.jit(render)
     out = jit_render(g)

@@ -251,7 +251,7 @@ def composite_chunk(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
 
 def _state_to_outputs(state: PixelState, bg_color: jnp.ndarray
                       ) -> Dict[str, jnp.ndarray]:
-    rgb = state.rgb + state.trans[:, None] * bg_color[None, :]
+    rgb = state.rgb + state.trans[..., None] * bg_color
     return {
         "image": rgb,
         "alpha": state.alpha_acc,
@@ -318,6 +318,144 @@ def rasterize_naive(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Packed per-splat render data for the tiled hot loop.
+#
+# The ray-plane cross product is bilinear in the pixel coords, so it folds
+# into three precomputed vectors per splat:
+#   k = px·t_w − t_x,  l = py·t_w − t_y,
+#   p = k × l = px·A + py·B + C   with  A = t_y×t_w, B = t_w×t_x, C = t_x×t_y
+# — 6 fma per pair instead of 6 fma + a 9-op cross product. All hot fields
+# are packed into one (F, N) fp32 matrix so the per-tile gather is a single
+# contiguous operation and chunk slices are plain lane slices.
+# ---------------------------------------------------------------------------
+
+# packed row layout
+_PK_A = slice(0, 3)       # p-coefficient A
+_PK_B = slice(3, 6)       # p-coefficient B
+_PK_C = slice(6, 9)       # p-coefficient C
+_PK_TZ = slice(9, 12)     # view-depth plane coeffs
+_PK_CX, _PK_CY, _PK_CZ = 12, 13, 14   # projected centre + centre depth
+_PK_OP = 15               # opacity (0 for invalid splats)
+_PK_RGB = slice(16, 19)
+_PK_NRM = slice(19, 22)
+PACKED_F = 22
+
+
+def pack_splat_render(sp: SplatProj) -> jnp.ndarray:
+    """SplatProj → (PACKED_F, N) hot-loop matrix (see layout above)."""
+    A = jnp.cross(sp.t_y, sp.t_w)
+    B = jnp.cross(sp.t_w, sp.t_x)
+    C = jnp.cross(sp.t_x, sp.t_y)
+    op = jnp.where(sp.valid, sp.opacity, 0.0)
+    return jnp.concatenate([
+        A.T, B.T, C.T, sp.t_z.T,
+        sp.center_pix[:, 0][None], sp.center_pix[:, 1][None],
+        sp.center_z[None], op[None], sp.rgb.T, sp.normal_view.T,
+    ], axis=0)
+
+
+def init_pixel_state_g(G: int, P: int) -> PixelState:
+    z = jnp.zeros((G, P), jnp.float32)
+    return PixelState(
+        rgb=jnp.zeros((G, P, 3), jnp.float32),
+        trans=jnp.ones((G, P), jnp.float32),
+        alpha_acc=z, depth_exp=z, depth_med=z,
+        normal=jnp.zeros((G, P, 3), jnp.float32),
+        dist=z, dist_d=z, dist_d2=z,
+    )
+
+
+def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
+                            py: jnp.ndarray, data: jnp.ndarray) -> PixelState:
+    """Composite a depth-sorted chunk for G tiles × P pixels at once.
+
+    px, py: (G, P). data: (PACKED_F, G, K) packed splat columns. All hot
+    arrays are (G, P, K): P sublanes × K lanes per tile — full VPU blocks
+    with no cross-tile interaction.
+
+    Same math as `composite_chunk` but with the distortion accumulated from
+    three chunk SUMS instead of three cumsums, using
+      Σ_{i>j} w_i w_j (m_i−m_j)² = S_w·S_wm2 − S_wm²
+    (exact — the diagonal terms cancel), which removes 3 of the 4 per-chunk
+    prefix scans.
+    """
+    a0, a1, a2 = data[0][:, None, :], data[1][:, None, :], data[2][:, None, :]
+    b0, b1, b2 = data[3][:, None, :], data[4][:, None, :], data[5][:, None, :]
+    c0, c1, c2 = data[6][:, None, :], data[7][:, None, :], data[8][:, None, :]
+    tz0, tz1, tz2 = (data[9][:, None, :], data[10][:, None, :],
+                     data[11][:, None, :])
+    cx, cy = data[_PK_CX][:, None, :], data[_PK_CY][:, None, :]
+    cz, op = data[_PK_CZ][:, None, :], data[_PK_OP][:, None, :]
+
+    pxe = px[..., None]                                     # (G, P, 1)
+    pye = py[..., None]
+    p0 = pxe * a0 + pye * b0 + c0                           # (G, P, K)
+    p1 = pxe * a1 + pye * b1 + c1
+    p2 = pxe * a2 + pye * b2 + c2
+    safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+    inv = 1.0 / safe
+    u = p0 * inv
+    v = p1 * inv
+    rho3d = u * u + v * v
+
+    dx = pxe - cx
+    dy = pye - cy
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    depth = jnp.where(use3d, u * tz0 + v * tz1 + tz2, cz)
+
+    g = jnp.exp(-0.5 * rho)
+    alpha = jnp.minimum(op * g, ALPHA_MAX)
+    keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL)
+    alpha = jnp.where(keep, alpha, 0.0)
+    depth = jnp.where(keep, depth, 0.0)
+
+    # Direct cumprod transmittance (not the log1p/cumsum/exp chain used by
+    # `composite_chunk`): α ≤ ALPHA_MAX < 1 keeps 1−α ≥ 1e-2, so a K≤512
+    # fp32 product is well-conditioned, and it drops three transcendental
+    # map passes from the hot loop (~10% step time at 512²).
+    t_incl = jnp.cumprod(1.0 - alpha, axis=-1)              # Π_{j<=i}(1−α_j)
+    t_excl = t_incl / (1.0 - alpha)                         # Π_{j<i}(1−α_j)
+    t_in = state.trans[..., None] * t_excl
+    below = t_in <= T_EPS
+    w = jnp.where(below, 0.0, state.trans[..., None] * alpha * t_excl)
+
+    # rgb / normal / alpha-mass in ONE batched (G, P, K)@(G, K, 7) matmul
+    feats = jnp.stack([data[16], data[17], data[18],
+                       data[19], data[20], data[21],
+                       jnp.ones_like(data[0])], axis=-1)    # (G, K, 7)
+    acc = jnp.einsum("gpk,gkc->gpc", w, feats,
+                     preferred_element_type=jnp.float32)
+    s_w = acc[..., 6]
+    depth_exp = state.depth_exp + jnp.sum(w * depth, axis=-1)
+
+    t_after = state.trans[..., None] * t_incl
+    crossed = (t_in > 0.5) & (t_after <= 0.5)
+    depth_med = state.depth_med + jnp.sum(jnp.where(crossed, depth, 0.0),
+                                          axis=-1)
+
+    m = _mapped_depth(depth)
+    wm = w * m
+    s_wm = jnp.sum(wm, axis=-1)
+    s_wm2 = jnp.sum(wm * m, axis=-1)
+    dist = state.dist \
+        + state.alpha_acc * s_wm2 + state.dist_d2 * s_w \
+        - 2.0 * state.dist_d * s_wm \
+        + (s_w * s_wm2 - s_wm * s_wm)
+
+    return PixelState(
+        rgb=state.rgb + acc[..., 0:3],
+        trans=state.trans * t_incl[..., -1],
+        alpha_acc=state.alpha_acc + s_w,
+        depth_exp=depth_exp, depth_med=depth_med,
+        normal=state.normal + acc[..., 3:6],
+        dist=dist, dist_d=state.dist_d + s_wm,
+        dist_d2=state.dist_d2 + s_wm2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tiled production path: XLA sort-based binning + capped per-tile lists.
 # ---------------------------------------------------------------------------
 
@@ -375,17 +513,20 @@ def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
     pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)      # sentinel bucket
 
     # Pairs are generated splat-major in depth order; stable sort by tile id.
+    # lax.sort with a carried value operand replaces argsort + two 2.65M
+    # random gathers — the gathers cost ~8x the sort itself on TPU
+    # (measured: argsort 10 ms + takes 78 ms vs co-sort 10 ms at 512²/73k).
     flat_tile = pair_tile.reshape(-1)
     flat_splat = jnp.broadcast_to(order[:, None], (N, max_span)).reshape(-1)
-    sort_idx = jnp.argsort(flat_tile, stable=True)
-    s_tile = jnp.take(flat_tile, sort_idx)
-    s_splat = jnp.take(flat_splat, sort_idx)
+    s_tile, s_splat = jax.lax.sort((flat_tile, flat_splat), num_keys=1,
+                                   is_stable=True)
 
-    # Per-tile offsets & counts via searchsorted on the sorted tile ids.
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(s_tile, tile_ids, side="left")
-    ends = jnp.searchsorted(s_tile, tile_ids, side="right")
-    counts = jnp.minimum(ends - starts, max_per_tile)
+    # Per-tile offsets & counts: one searchsorted over the bucket boundaries
+    # (bucket i spans [starts[i], starts[i+1]); n_tiles is the sentinel).
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(s_tile, tile_ids, side="left")
+    starts = bounds[:-1]
+    counts = jnp.minimum(bounds[1:] - starts, max_per_tile)
 
     j = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather_idx = starts[:, None] + j[None, :]
@@ -417,67 +558,95 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     `render/sharded.py` to shard rows over the mesh `tile` axis.
     """
     assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
     sp = preprocess_splats(gaussians, cam_view, cam_view_proj,
                            full_h or img_h, img_w, tanfov)
-    lists, _counts = build_tile_lists(
+    lists, counts = build_tile_lists(
         jax.tree.map(jax.lax.stop_gradient, sp), img_h, img_w, tile,
         max_per_tile, row0=row0)
     tiles_x = img_w // tile
     tiles_y = img_h // tile
     n_tiles = tiles_x * tiles_y
+    P = tile * tile
+    if n_tiles % tile_group != 0:
+        import math
+        tile_group = math.gcd(tile_group, n_tiles)
+    G = tile_group
+    n_groups = n_tiles // G
+    n_chunks = max_per_tile // chunk
+
+    # Count-adaptive scheduling: sort tiles by splat count (descending) so
+    # groups are count-homogeneous, then run each group only up to
+    # ceil(group_max/chunk) chunks. Empty background tiles cost nothing —
+    # the per-frame work is ~Σ per-tile counts instead of n_tiles ×
+    # max_per_tile (the CUDA pipeline gets this for free from its dynamic
+    # per-tile ranges; here it is a scalar `lax.cond` per (group, chunk),
+    # a REAL branch because the group loop is `lax.map`, not vmap).
+    order = jax.lax.stop_gradient(jnp.argsort(-counts))
+    counts_s = jnp.take(counts, order)
+    gmax = counts_s[::G]                                   # (n_groups,) maxima
+    n_act = (gmax + chunk - 1) // chunk                    # chunks per group
 
     # Pixel coords per tile (static): (tile*tile,) offsets + per-tile origin.
     yy, xx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
                           jnp.arange(tile, dtype=jnp.float32), indexing="ij")
     local_x = xx.reshape(-1)
     local_y = yy.reshape(-1)
+    tx_s = (order % tiles_x).astype(jnp.float32)           # sorted tile cols
+    ty_s = (order // tiles_x).astype(jnp.float32)
 
-    # Pad splat axis with one dummy so index -1 gathers a dead splat.
-    sp_pad = jax.tree.map(
-        lambda a: jnp.concatenate(
-            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0), sp)
-    sp_pad = sp_pad._replace(valid=sp_pad.valid.at[-1].set(False))
+    # Splat data stays packed at (F, N); only the per-tile INDEX lists are
+    # materialised in sorted order (int32 — 22x smaller than gathered
+    # floats). The float gather happens inside the chunk loop, so gather
+    # traffic is count-adaptive like the compute: ~sum(counts) x F floats
+    # instead of n_tiles x max_per_tile x F (~5x at 512^2/73k, and it makes
+    # large max_per_tile nearly free for the dominant sparse tiles). The
+    # dummy column keeps -1 list entries pointing at a dead splat.
+    packed = pack_splat_render(sp)                          # (F, N)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((PACKED_F, 1), jnp.float32)], axis=1)
+    N_dummy = packed.shape[1] - 1
+    lists_s = jnp.take(lists, order, axis=0)                # (n_tiles, mpt)
+    lists_s = jnp.where(lists_s < 0, N_dummy, lists_s)
 
-    # ONE big contiguous pre-gather of per-tile splat data, instead of a
-    # scattered per-chunk gather inside the hot loop (HBM-latency bound).
-    gathered = _take_splats(sp_pad, lists.reshape(-1))
-    gathered = jax.tree.map(
-        lambda a: a.reshape((n_tiles, max_per_tile) + a.shape[1:]), gathered)
+    def group_body(gi):
+        idx_g = jax.lax.dynamic_slice_in_dim(lists_s, gi * G, G, 0)
+        tx = jax.lax.dynamic_slice_in_dim(tx_s, gi * G, G, 0)
+        ty = jax.lax.dynamic_slice_in_dim(ty_s, gi * G, G, 0)
+        px = local_x[None, :] + tx[:, None] * tile          # (G, P)
+        py = local_y[None, :] + ty[:, None] * tile + row0
+        active = n_act[gi]
 
-    n_chunks = max_per_tile // chunk
-    assert max_per_tile % chunk == 0
+        def chunk_body(st, c):
+            def run(s):
+                ids = jax.lax.dynamic_slice_in_dim(idx_g, c * chunk, chunk, 1)
+                # checkpoint (gather INSIDE it): the scan backward would
+                # otherwise store every chunk's gathered (F, G, K) data and
+                # (G, P, K) intermediates — the dominant training memory
+                # term. Only the int ids + pixel state are carried.
+                def comp(s_, ids_):
+                    d = jnp.take(packed, ids_.reshape(-1), axis=1)
+                    d = d.reshape(PACKED_F, G, chunk)
+                    return composite_chunk_grouped(s_, px, py, d)
 
-    def render_tile(tile_idx: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        ty = (tile_idx // tiles_x).astype(jnp.float32)
-        tx = (tile_idx % tiles_x).astype(jnp.float32)
-        px = local_x + tx * tile
-        py = local_y + ty * tile + row0
-        tile_sp = jax.tree.map(lambda a: a[tile_idx], gathered)
+                return jax.checkpoint(comp)(s, ids)
 
-        state = init_pixel_state(tile * tile)
+            return jax.lax.cond(c < active, run, lambda s: s, st), None
 
-        def body(st, c):
-            spc = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk,
-                                                       0), tile_sp)
-            # checkpoint: without it the scan backward stores every chunk's
-            # (P, K) intermediates — the dominant training-memory term
-            # (512 MB temps at vae-small/128²). Recompute instead.
-            return jax.checkpoint(composite_chunk)(st, px, py, spc), None
-
-        state, _ = jax.lax.scan(body, state, jnp.arange(n_chunks))
+        state, _ = jax.lax.scan(chunk_body, init_pixel_state_g(G, P),
+                                jnp.arange(n_chunks))
         return _state_to_outputs(state, bg_color)
 
-    if n_tiles % tile_group != 0:
-        import math
-        tile_group = math.gcd(tile_group, n_tiles)
-    out = jax.lax.map(
-        lambda g: jax.vmap(render_tile)(
-            g * tile_group + jnp.arange(tile_group)),
-        jnp.arange(n_tiles // tile_group))
-    # out leaves: (groups, tile_group, tile*tile, C…) → (H, W, C…)
+    out = jax.lax.map(group_body, jnp.arange(n_groups))
+
+    # leaves: (n_groups, G, P, C…) in sorted-tile order → undo the sort,
+    # then detile to (H, W, C…).
+    inv = jax.lax.stop_gradient(jnp.argsort(order))
+
     def detile(a):
         c_shape = a.shape[3:]
+        a = a.reshape(n_tiles, P, *c_shape)
+        a = jnp.take(a, inv, axis=0)
         a = a.reshape(tiles_y, tiles_x, tile, tile, *c_shape)
         a = jnp.moveaxis(a, 2, 1)  # (ty, tile_h, tx, tile_w, C)
         return a.reshape(img_h, img_w, *c_shape)

@@ -79,8 +79,24 @@ def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
             "dist": out["dist"][..., None],
         }
 
-    # vmap over views (gaussians shared), then over batch.
-    per_batch = jax.vmap(one_view, in_axes=(None, 0, 0, 0, 0))
-    out = jax.vmap(per_batch)(gaussians, cam_view, cam_view_proj, tanfov, bg)
+    # lax.map (NOT vmap) over flattened B·V views: under vmap the
+    # rasterizer's count-adaptive `lax.cond` chunk skipping lowers to
+    # `select`, executing every chunk for every tile (measured 2.7 M vs
+    # 7.4 M rays/s at 512²/73k splats). Each view already exposes
+    # thousands of parallel tiles, so serializing views loses nothing.
+    B, V = cam_view.shape[:2]
+    S = B * V
+    flat = jax.tree.map(
+        lambda a: a.reshape((S,) + a.shape[2:]),
+        (cam_view, cam_view_proj, tanfov, bg))
+    bidx = jnp.arange(S, dtype=jnp.int32) // V
+
+    def body(args):
+        bi, cv, cvp, tf, bgc = args
+        return one_view(gaussians[bi], cv, cvp, tf, bgc)
+
+    out = jax.lax.map(body, (bidx,) + flat)
+    out = jax.tree.map(
+        lambda a: a.reshape((B, V) + a.shape[1:]), out)
     # (B,V,H,W,C) → channel-first (B,V,C,H,W) for reference-parity consumers.
     return {k: jnp.moveaxis(v, -1, 2) for k, v in out.items()}
