@@ -110,21 +110,44 @@ class Conditioning(NamedTuple):
 class ImageConditioner(nn.Module):
     """DINOv2-equivalent image conditioner: cls+patch tokens as crossattn,
     cls as vector (FrozenDinov2ImageEmbedder parity,
-    `sgm/modules/encoders/modules.py:791-933`)."""
+    `sgm/modules/encoders/modules.py:791-933`).
+
+    `backbone="scratch"` uses the in-repo trainable ViT;
+    `backbone="dinov2"` uses the faithful `models/dinov2.Dinov2ViT`
+    architecture (fused qkv, LayerScale, learned interp pos-embed) so
+    converted torch-hub `dinov2_vitl14_reg` weights
+    (`utils/param_io.convert_dinov2`) compute the reference function —
+    the release i23d conditioning path.
+    """
 
     width: int = 1024
     depth: int = 24
     heads: int = 16
     img_size: int = 224
     ucg_rate: float = 0.1
+    backbone: str = "scratch"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, rng: Optional[jax.Array] = None,
                  train: bool = False) -> Conditioning:
-        tokens, pooled = VisionTransformer(
-            width=self.width, depth=self.depth, heads=self.heads,
-            img_size=self.img_size, dtype=self.dtype, name="vit")(images)
+        if self.backbone == "dinov2":
+            from gaussiananything_tpu.models.dinov2 import Dinov2ViT
+            x = jnp.moveaxis(images, 1, -1)
+            mean = jnp.asarray([0.485, 0.456, 0.406])
+            std = jnp.asarray([0.229, 0.224, 0.225])
+            x = jnp.moveaxis((x - mean) / std, -1, 1)
+            patch_tokens, cls_tok = Dinov2ViT(
+                width=self.width, depth=self.depth, heads=self.heads,
+                img_size=self.img_size, dtype=self.dtype, name="vit")(x)
+            # reference concatenates cls + patch tokens for crossattn and
+            # uses cls as the vector slot (modules.py:900-930)
+            tokens = jnp.concatenate([cls_tok[:, None], patch_tokens], axis=1)
+            pooled = cls_tok
+        else:
+            tokens, pooled = VisionTransformer(
+                width=self.width, depth=self.depth, heads=self.heads,
+                img_size=self.img_size, dtype=self.dtype, name="vit")(images)
         if train and self.ucg_rate > 0 and rng is not None:
             keep = jax.random.bernoulli(
                 rng, 1.0 - self.ucg_rate, (images.shape[0], 1, 1))
@@ -133,28 +156,46 @@ class ImageConditioner(nn.Module):
         return Conditioning(crossattn=tokens, vector=pooled)
 
     def unconditional(self, batch: int) -> Conditioning:
-        L = (self.img_size // 14) ** 2 + 1 + 4
+        n_extra = 1 + 4 if self.backbone == "scratch" else 1
+        L = (self.img_size // 14) ** 2 + n_extra
         return Conditioning(
             crossattn=jnp.zeros((batch, L, self.width), jnp.float32),
             vector=jnp.zeros((batch, self.width), jnp.float32))
 
 
 class TextConditioner(nn.Module):
-    """CLIP-text-equivalent conditioner (FrozenOpenCLIPEmbedder2 parity)."""
+    """CLIP-text-equivalent conditioner (FrozenOpenCLIPEmbedder2 parity).
+
+    `backbone="bytes"` is the in-repo trainable byte-token transformer;
+    `backbone="openclip"` is the faithful causal CLIP ViT-L/14 text tower
+    (`models/openclip_text.OpenClipTextTower`) for converted 'openai'
+    checkpoints (`utils/param_io.convert_openclip_text`) — pair it with
+    `openclip_text.ClipBPETokenizer` ids.
+    """
 
     width: int = 768
     depth: int = 12
     heads: int = 12
     max_len: int = 77
     ucg_rate: float = 0.1
+    backbone: str = "bytes"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, token_ids, rng: Optional[jax.Array] = None,
                  train: bool = False) -> Conditioning:
-        tokens, pooled = TextTransformer(
-            width=self.width, depth=self.depth, heads=self.heads,
-            max_len=self.max_len, dtype=self.dtype, name="text")(token_ids)
+        if self.backbone == "openclip":
+            from gaussiananything_tpu.models.openclip_text import \
+                OpenClipTextTower
+            tokens, pooled = OpenClipTextTower(
+                width=self.width, depth=self.depth, heads=self.heads,
+                max_len=self.max_len, embed_dim=self.width,
+                dtype=self.dtype, name="text")(token_ids)
+        else:
+            tokens, pooled = TextTransformer(
+                width=self.width, depth=self.depth, heads=self.heads,
+                max_len=self.max_len, dtype=self.dtype,
+                name="text")(token_ids)
         if train and self.ucg_rate > 0 and rng is not None:
             keep = jax.random.bernoulli(
                 rng, 1.0 - self.ucg_rate, (token_ids.shape[0], 1, 1))

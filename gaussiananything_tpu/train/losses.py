@@ -85,7 +85,16 @@ def _perceptual_params(h: int, w: int, seed: int = 0):
 
 def perceptual_loss(a: jnp.ndarray, b: jnp.ndarray,
                     params=None) -> jnp.ndarray:
-    """a, b: (B, 3, H, W) in [0,1]. Channel-first for parity with callers."""
+    """a, b: (B, 3, H, W) in [0,1]. Channel-first for parity with callers.
+
+    `params=None` → fixed random pyramid (fallback). A converted VGG-LPIPS
+    param tree (`utils/param_io.convert_lpips_vgg`) → reference-parity
+    LPIPS (`nsr/losses/builder.py:530-653` uses pip `lpips` VGG).
+    """
+    if params is not None:
+        inner = params.get("params", params)
+        if any(str(k).startswith("lins.") for k in inner):
+            return lpips_vgg(a, b, params)
     B, C, H, W = a.shape
     net, p = _perceptual_params(H, W)
     if params is not None:
@@ -98,6 +107,82 @@ def perceptual_loss(a: jnp.ndarray, b: jnp.ndarray,
         nb = xb / (jnp.linalg.norm(xb, axis=-1, keepdims=True) + 1e-8)
         total = total + jnp.mean((na - nb) ** 2)
     return total
+
+
+# ------------------------------------------------------ VGG16 LPIPS
+
+# torchvision vgg16.features conv indices and channel widths; relu taps
+# after convs 2/7/14/21/28 = relu{1_2,2_2,3_3,4_3,5_3} (the lpips slices).
+_VGG_CONVS = ((0, 64), (2, 64), (5, 128), (7, 128), (10, 256), (12, 256),
+              (14, 256), (17, 512), (19, 512), (21, 512), (24, 512),
+              (26, 512), (28, 512))
+_VGG_TAPS = (2, 7, 14, 21, 28)
+_VGG_POOL_BEFORE = (5, 10, 17, 24)
+LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+
+class VGG16Features(nn.Module):
+    """torchvision VGG16 feature trunk (NHWC), conv names `features.N`
+    matching the torch state-dict indices so conversion is a rename.
+
+    Returns the 5 relu taps used by LPIPS.
+    """
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3), already LPIPS-scaled
+        feats = []
+        h = x
+        for idx, ch in _VGG_CONVS:
+            if idx in _VGG_POOL_BEFORE:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = nn.Conv(ch, (3, 3), padding=1, name=f"features.{idx}")(h)
+            h = nn.relu(h)
+            if idx in _VGG_TAPS:
+                feats.append(h)
+        return feats
+
+
+class VGGLPIPS(nn.Module):
+    """LPIPS(net='vgg') parity: scaling layer → VGG taps → unit-normalise
+    channels → squared diff → learned 1×1 `lin` convs → spatial mean → sum.
+
+    Matches pip `lpips` semantics (`nsr/losses/builder.py:530` consumption);
+    weights convert via `utils/param_io.convert_lpips_vgg`.
+    """
+
+    @nn.compact
+    def __call__(self, a, b):  # (B, H, W, 3) in [-1, 1]
+        shift = jnp.asarray([-0.030, -0.088, -0.188])
+        scale = jnp.asarray([0.458, 0.448, 0.450])
+        net = VGG16Features(name="net")
+        fa = net((a - shift) / scale)
+        fb = net((b - shift) / scale)
+        total = 0.0
+        for k, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa * jax.lax.rsqrt(
+                jnp.sum(xa * xa, axis=-1, keepdims=True) + 1e-10)
+            nb = xb * jax.lax.rsqrt(
+                jnp.sum(xb * xb, axis=-1, keepdims=True) + 1e-10)
+            d = (na - nb) ** 2
+            w = nn.Conv(1, (1, 1), use_bias=False,
+                        name=f"lins.{k}")(d)
+            total = total + jnp.mean(w, axis=(1, 2, 3))
+        return jnp.mean(total)
+
+
+def lpips_vgg(a: jnp.ndarray, b: jnp.ndarray, params) -> jnp.ndarray:
+    """a, b: (B, 3, H, W) in [0,1]; params from `convert_lpips_vgg`."""
+    m = VGGLPIPS()
+    return m.apply(params, jnp.moveaxis(a, 1, -1) * 2 - 1,
+                   jnp.moveaxis(b, 1, -1) * 2 - 1)
+
+
+def init_lpips_template(res: int = 64):
+    """Template param tree for the converter (shapes only)."""
+    with jax.ensure_compile_time_eval():
+        return VGGLPIPS().init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, res, res, 3)),
+                               jnp.zeros((1, res, res, 3)))
 
 
 # ----------------------------------------------------------------- ssim

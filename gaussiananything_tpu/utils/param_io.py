@@ -43,17 +43,22 @@ def load_params_npz(path: str, template: Optional[Any] = None) -> Any:
 
 def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
                             name_map: Callable[[str], Optional[str]],
-                            template: Any) -> Any:
+                            template: Any,
+                            verbatim: Optional[set] = None) -> Any:
     """Convert a torch state dict into a flax param tree.
 
     `state_dict`: torch name -> numpy array (call `.numpy()` upstream).
     `name_map(torch_name) -> flax 'a/b/c' path or None to skip.
     Linear kernels are transposed (torch stores [out, in]); conv kernels
     are transposed OIHW -> HWIO. Entries missing from the map keep the
-    template's values.
+    template's values. `verbatim`: flax names copied WITHOUT the 2-D
+    transpose heuristic — required for square matrices torch applies as
+    ``x @ W`` directly (e.g. CLIP's ``text_projection`` Parameter), where
+    shape[::-1] == shape and the heuristic would silently transpose.
     """
     t_flat = flatten_dict(template, sep="/")
     out = dict(t_flat)
+    verbatim = verbatim or set()
     for tname, arr in state_dict.items():
         fname = name_map(tname)
         if fname is None:
@@ -62,7 +67,9 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
             raise KeyError(f"mapped name {fname} not in template")
         tgt = t_flat[fname]
         a = np.asarray(arr)
-        if a.ndim == 2 and a.shape == tgt.shape[::-1]:
+        if fname in verbatim:
+            pass
+        elif a.ndim == 2 and a.shape == tgt.shape[::-1]:
             a = a.T                               # torch Linear [out,in]
         elif a.ndim == 4 and a.shape != tgt.shape:
             a = a.transpose(2, 3, 1, 0)           # OIHW -> HWIO
@@ -71,3 +78,131 @@ def import_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
                              f"{tgt.shape}")
         out[fname] = a.astype(np.asarray(tgt).dtype)
     return unflatten_dict({tuple(k.split("/")): v for k, v in out.items()})
+
+
+def dinov2_name_map(torch_name: str) -> Optional[str]:
+    """torch-hub ``dinov2_vit*14_reg`` state-dict name → flax path in
+    `models/dinov2.Dinov2ViT` (whose submodule names mirror the torch tree;
+    reference consumption: `sgm/modules/encoders/modules.py:791-933`).
+
+    Returns None for buffers we do not carry (mask_token — only used for
+    iBOT-style masked training, never at inference).
+    """
+    if torch_name in ("cls_token", "pos_embed", "register_tokens"):
+        return torch_name
+    if torch_name == "mask_token":
+        return None
+    if torch_name == "patch_embed.proj.weight":
+        return "patch_embed/kernel"
+    if torch_name == "patch_embed.proj.bias":
+        return "patch_embed/bias"
+    if torch_name in ("norm.weight", "norm.bias"):
+        return "norm/" + ("scale" if torch_name.endswith("weight") else "bias")
+    if torch_name.startswith("blocks."):
+        rest = torch_name.split(".", 2)[1:]          # [idx, tail]
+        idx, tail = rest[0], rest[1]
+        prefix = f"blocks.{idx}/"
+        table = {
+            "norm1.weight": "norm1/scale", "norm1.bias": "norm1/bias",
+            "norm2.weight": "norm2/scale", "norm2.bias": "norm2/bias",
+            "attn.qkv.weight": "attn/qkv/kernel",
+            "attn.qkv.bias": "attn/qkv/bias",
+            "attn.proj.weight": "attn/proj/kernel",
+            "attn.proj.bias": "attn/proj/bias",
+            "ls1.gamma": "ls1/gamma", "ls2.gamma": "ls2/gamma",
+            "mlp.fc1.weight": "mlp.fc1/kernel", "mlp.fc1.bias": "mlp.fc1/bias",
+            "mlp.fc2.weight": "mlp.fc2/kernel", "mlp.fc2.bias": "mlp.fc2/bias",
+        }
+        if tail in table:
+            return prefix + table[tail]
+    raise KeyError(f"unrecognised dinov2 param {torch_name}")
+
+
+def convert_dinov2(state_dict: Dict[str, "np.ndarray"], template: Any) -> Any:
+    """DINOv2 torch-hub checkpoint → `models/dinov2.Dinov2ViT` params."""
+    return import_torch_state_dict(state_dict, dinov2_name_map, template)
+
+
+def openclip_text_name_map(torch_name: str) -> Optional[str]:
+    """open_clip CLIP text-tower state dict → flax path in
+    `models/openclip_text.OpenClipTextTower` (reference embedder:
+    FrozenOpenCLIPEmbedder2, `sgm/modules/encoders/modules.py` t23d yaml).
+
+    Accepts both bare text-tower names (`transformer.resblocks…`) and the
+    full-CLIP prefix, skipping the visual tower.
+    """
+    n = torch_name
+    if n.startswith("visual.") or n in ("logit_scale", "logit_bias"):
+        return None
+    if n.startswith("text."):                        # some open_clip layouts
+        n = n[len("text."):]
+    if n == "token_embedding.weight":
+        return "token_embedding/embedding"
+    if n == "positional_embedding":
+        return "positional_embedding"
+    if n == "text_projection":
+        return "text_projection"
+    if n in ("ln_final.weight", "ln_final.bias"):
+        return "ln_final/" + ("scale" if n.endswith("weight") else "bias")
+    if n.startswith("transformer.resblocks."):
+        idx, tail = n[len("transformer.resblocks."):].split(".", 1)
+        prefix = f"resblocks.{idx}/"
+        table = {
+            "ln_1.weight": "ln_1/scale", "ln_1.bias": "ln_1/bias",
+            "ln_2.weight": "ln_2/scale", "ln_2.bias": "ln_2/bias",
+            "attn.in_proj_weight": "attn.in_proj/kernel",
+            "attn.in_proj_bias": "attn.in_proj/bias",
+            "attn.out_proj.weight": "attn.out_proj/kernel",
+            "attn.out_proj.bias": "attn.out_proj/bias",
+            "mlp.c_fc.weight": "mlp.c_fc/kernel",
+            "mlp.c_fc.bias": "mlp.c_fc/bias",
+            "mlp.c_proj.weight": "mlp.c_proj/kernel",
+            "mlp.c_proj.bias": "mlp.c_proj/bias",
+        }
+        if tail in table:
+            return prefix + table[tail]
+    raise KeyError(f"unrecognised open_clip text param {torch_name}")
+
+
+def convert_openclip_text(state_dict: Dict[str, "np.ndarray"],
+                          template: Any) -> Any:
+    return import_torch_state_dict(state_dict, openclip_text_name_map,
+                                   template,
+                                   verbatim={"text_projection"})
+
+
+def lpips_vgg_name_map(torch_name: str) -> Optional[str]:
+    """pip `lpips` LPIPS(net='vgg') state dict → flax path in
+    `train/losses.VGGLPIPS` (reference perceptual loss,
+    `nsr/losses/builder.py:530-653`).
+
+    Accepts the lpips layout (`net.sliceS.I.*`, `linK.model.1.weight`) and
+    the bare torchvision layout (`features.I.*`, trunk only). The slice
+    wrappers keep torchvision's global conv index as the child name, so the
+    map ignores the slice number. scaling_layer shift/scale are hardcoded
+    constants in the module.
+    """
+    import re as _re
+    n = torch_name
+    if n.startswith("scaling_layer."):
+        return None
+    m = _re.fullmatch(r"(?:net\.slice\d+|features)\.(\d+)\.(weight|bias)", n)
+    if m:
+        idx, kind = m.group(1), m.group(2)
+        return f"net/features.{idx}/" + ("kernel" if kind == "weight"
+                                         else "bias")
+    m = _re.fullmatch(r"lin(\d)\.model\.1\.weight", n)
+    if m:
+        return f"lins.{m.group(1)}/kernel"
+    raise KeyError(f"unrecognised lpips param {torch_name}")
+
+
+def convert_lpips_vgg(state_dict: Dict[str, "np.ndarray"],
+                      template: Any) -> Any:
+    """Accepts either the bare param tree or the `{"params": ...}` variables
+    dict (as returned by `losses.init_lpips_template`); returns the same
+    wrapping it was given so the result is apply-ready."""
+    wrapped = isinstance(template, dict) and set(template) == {"params"}
+    inner = template["params"] if wrapped else template
+    out = import_torch_state_dict(state_dict, lpips_vgg_name_map, inner)
+    return {"params": out} if wrapped else out

@@ -1,0 +1,274 @@
+"""Weight-import parity for the frozen conditioners (VERDICT round-1 item 3).
+
+Synthesizes torch state dicts with the TRUE parameter names of
+torch-hub ``dinov2_vitl14_reg`` and open_clip ``ViT-L-14`` text towers
+(reference consumption: `sgm/modules/encoders/modules.py:416-495,791-933`),
+converts them via `utils/param_io`, and checks the flax modules compute the
+same function as an independent numpy implementation of the torch forward
+semantics (fused-qkv ordering, LayerScale, register insertion, causal mask,
+QuickGELU, argmax-eot pooling).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaussiananything_tpu.models.dinov2 import Dinov2ViT
+from gaussiananything_tpu.models.openclip_text import (ClipBPETokenizer,
+                                                       OpenClipTextTower)
+from gaussiananything_tpu.utils import param_io
+
+# small-but-faithful configs (structure identical to the release sizes)
+D, HEADS, DEPTH, PATCH, IMG = 32, 4, 2, 14, 56
+TD, THEADS, TDEPTH, TLEN, TVOCAB = 24, 4, 2, 12, 64
+
+
+def _t(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+
+def synth_dinov2_state_dict(rng):
+    n_patches = (IMG // PATCH) ** 2
+    sd = {
+        "cls_token": _t(rng, 1, 1, D),
+        "pos_embed": _t(rng, 1, 1 + n_patches, D),
+        "register_tokens": _t(rng, 1, 4, D),
+        "mask_token": _t(rng, 1, D),
+        "patch_embed.proj.weight": _t(rng, D, 3, PATCH, PATCH),
+        "patch_embed.proj.bias": _t(rng, D),
+        "norm.weight": 1.0 + _t(rng, D),
+        "norm.bias": _t(rng, D),
+    }
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        sd.update({
+            p + "norm1.weight": 1.0 + _t(rng, D),
+            p + "norm1.bias": _t(rng, D),
+            p + "attn.qkv.weight": _t(rng, 3 * D, D),
+            p + "attn.qkv.bias": _t(rng, 3 * D),
+            p + "attn.proj.weight": _t(rng, D, D),
+            p + "attn.proj.bias": _t(rng, D),
+            p + "ls1.gamma": _t(rng, D),
+            p + "norm2.weight": 1.0 + _t(rng, D),
+            p + "norm2.bias": _t(rng, D),
+            p + "mlp.fc1.weight": _t(rng, 4 * D, D),
+            p + "mlp.fc1.bias": _t(rng, 4 * D),
+            p + "mlp.fc2.weight": _t(rng, D, 4 * D),
+            p + "mlp.fc2.bias": _t(rng, D),
+            p + "ls2.gamma": _t(rng, D),
+        })
+    return sd
+
+
+def _ln(x, w, b, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def _softmax(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _gelu(x):
+    from scipy.special import erf
+    return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
+
+
+def _mha(x, wqkv, bqkv, wproj, bproj, heads, mask=None):
+    """torch fused-qkv attention; wqkv (3D, D) rows stacked [q; k; v]."""
+    B, N, dim = x.shape
+    dh = dim // heads
+    qkv = x @ wqkv.T + bqkv                      # (B, N, 3D)
+    q, k, v = np.split(qkv, 3, axis=-1)
+
+    def heads_split(a):
+        return a.reshape(B, N, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    att = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)
+    if mask is not None:
+        att = att + mask
+    o = _softmax(att) @ v                        # (B, h, N, dh)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, dim)
+    return o @ wproj.T + bproj
+
+
+def numpy_dinov2_forward(sd, images):
+    """Independent re-derivation of the torch dinov2-reg forward at native
+    pos-embed size (dinov2 vision_transformer.py semantics)."""
+    B = images.shape[0]
+    g = IMG // PATCH
+    w = sd["patch_embed.proj.weight"].reshape(D, -1)     # (D, 3*p*p)
+    x = images.reshape(B, 3, g, PATCH, g, PATCH)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, -1)
+    x = x @ w.T + sd["patch_embed.proj.bias"]
+    x = np.concatenate([np.broadcast_to(sd["cls_token"], (B, 1, D)), x], 1)
+    x = x + sd["pos_embed"]
+    x = np.concatenate(
+        [x[:, :1], np.broadcast_to(sd["register_tokens"], (B, 4, D)),
+         x[:, 1:]], 1)
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        h = _ln(x, sd[p + "norm1.weight"], sd[p + "norm1.bias"])
+        h = _mha(h, sd[p + "attn.qkv.weight"], sd[p + "attn.qkv.bias"],
+                 sd[p + "attn.proj.weight"], sd[p + "attn.proj.bias"], HEADS)
+        x = x + sd[p + "ls1.gamma"] * h
+        h = _ln(x, sd[p + "norm2.weight"], sd[p + "norm2.bias"])
+        h = _gelu(h @ sd[p + "mlp.fc1.weight"].T + sd[p + "mlp.fc1.bias"])
+        h = h @ sd[p + "mlp.fc2.weight"].T + sd[p + "mlp.fc2.bias"]
+        x = x + sd[p + "ls2.gamma"] * h
+    x = _ln(x, sd["norm.weight"], sd["norm.bias"])
+    return x[:, 5:], x[:, 0]
+
+
+class TestDinov2Import:
+    def test_convert_and_match_numpy(self):
+        rng = np.random.default_rng(0)
+        sd = synth_dinov2_state_dict(rng)
+        model = Dinov2ViT(patch=PATCH, width=D, depth=DEPTH, heads=HEADS,
+                          num_registers=4, img_size=IMG)
+        imgs = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+        template = model.init(jax.random.key(0), jnp.asarray(imgs))
+        params = param_io.convert_dinov2(sd, template["params"])
+        patch_j, cls_j = model.apply({"params": params}, jnp.asarray(imgs))
+        patch_n, cls_n = numpy_dinov2_forward(sd, imgs)
+        np.testing.assert_allclose(np.asarray(patch_j), patch_n,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cls_j), cls_n,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_every_param_consumed(self):
+        """Every torch name maps somewhere (or is a documented skip)."""
+        sd = synth_dinov2_state_dict(np.random.default_rng(1))
+        mapped = {param_io.dinov2_name_map(k) for k in sd}
+        assert None in mapped            # mask_token skipped
+        assert len(mapped - {None}) == len(sd) - 1
+
+
+def synth_clip_text_state_dict(rng):
+    sd = {
+        "token_embedding.weight": _t(rng, TVOCAB, TD),
+        "positional_embedding": _t(rng, TLEN, TD),
+        "ln_final.weight": 1.0 + _t(rng, TD),
+        "ln_final.bias": _t(rng, TD),
+        "text_projection": _t(rng, TD, TD),
+        "logit_scale": np.float32(4.6),
+        "visual.conv1.weight": _t(rng, 8, 3, 2, 2),   # must be skipped
+    }
+    for i in range(TDEPTH):
+        p = f"transformer.resblocks.{i}."
+        sd.update({
+            p + "ln_1.weight": 1.0 + _t(rng, TD),
+            p + "ln_1.bias": _t(rng, TD),
+            p + "attn.in_proj_weight": _t(rng, 3 * TD, TD),
+            p + "attn.in_proj_bias": _t(rng, 3 * TD),
+            p + "attn.out_proj.weight": _t(rng, TD, TD),
+            p + "attn.out_proj.bias": _t(rng, TD),
+            p + "ln_2.weight": 1.0 + _t(rng, TD),
+            p + "ln_2.bias": _t(rng, TD),
+            p + "mlp.c_fc.weight": _t(rng, 4 * TD, TD),
+            p + "mlp.c_fc.bias": _t(rng, 4 * TD),
+            p + "mlp.c_proj.weight": _t(rng, TD, 4 * TD),
+            p + "mlp.c_proj.bias": _t(rng, TD),
+        })
+    return sd
+
+
+def numpy_clip_text_forward(sd, ids):
+    B, L = ids.shape
+    x = sd["token_embedding.weight"][ids] + sd["positional_embedding"][:L]
+    mask = np.where(np.tril(np.ones((L, L), bool)), 0.0, -np.inf)
+    for i in range(TDEPTH):
+        p = f"transformer.resblocks.{i}."
+        h = _ln(x, sd[p + "ln_1.weight"], sd[p + "ln_1.bias"], eps=1e-5)
+        h = _mha(h, sd[p + "attn.in_proj_weight"],
+                 sd[p + "attn.in_proj_bias"],
+                 sd[p + "attn.out_proj.weight"],
+                 sd[p + "attn.out_proj.bias"], THEADS, mask=mask)
+        x = x + h
+        h = _ln(x, sd[p + "ln_2.weight"], sd[p + "ln_2.bias"], eps=1e-5)
+        h = h @ sd[p + "mlp.c_fc.weight"].T + sd[p + "mlp.c_fc.bias"]
+        h = h * (1.0 / (1.0 + np.exp(-1.702 * h)))        # QuickGELU
+        h = h @ sd[p + "mlp.c_proj.weight"].T + sd[p + "mlp.c_proj.bias"]
+        x = x + h
+    x = _ln(x, sd["ln_final.weight"], sd["ln_final.bias"], eps=1e-5)
+    eot = ids.argmax(-1)
+    pooled = x[np.arange(B), eot] @ sd["text_projection"]
+    return x, pooled
+
+
+class TestOpenClipTextImport:
+    def test_convert_and_match_numpy(self):
+        rng = np.random.default_rng(2)
+        sd = synth_clip_text_state_dict(rng)
+        model = OpenClipTextTower(vocab=TVOCAB, width=TD, depth=TDEPTH,
+                                  heads=THEADS, max_len=TLEN, embed_dim=TD)
+        ids = rng.integers(1, TVOCAB, (2, TLEN)).astype(np.int32)
+        ids[:, 0] = 0
+        ids[0, -1] = TVOCAB - 1      # eot = argmax position
+        template = model.init(jax.random.key(0), jnp.asarray(ids))
+        params = param_io.convert_openclip_text(sd, template["params"])
+        tok_j, pool_j = model.apply({"params": params}, jnp.asarray(ids))
+        tok_n, pool_n = numpy_clip_text_forward(sd, ids)
+        np.testing.assert_allclose(np.asarray(tok_j), tok_n,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(pool_j), pool_n,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_visual_tower_skipped(self):
+        assert param_io.openclip_text_name_map("visual.conv1.weight") is None
+        assert param_io.openclip_text_name_map("logit_scale") is None
+
+
+class TestClipBPE:
+    def test_merges_and_special_tokens(self, tmp_path):
+        # A miniature merges file exercising the real merge loop. Real
+        # vocab layout: 256 bytes + 256 byte</w> + merges + 2 specials.
+        merges = ["#version: 0.2", "h e", "he l", "hel l",
+                  "hell o</w>", "l o</w>"]
+        path = tmp_path / "bpe_vocab.txt"
+        path.write_text("\n".join(merges) + "\n")
+        tok = ClipBPETokenizer(str(path))
+        ids = tok(["hello hello", "lo"], max_len=8)
+        assert ids.shape == (2, 8)
+        assert ids[0, 0] == tok.sot
+        # 'hello' fully merges into the single token 'hello</w>'
+        hello_id = tok.encoder["hello</w>"]
+        assert list(ids[0][:4]) == [tok.sot, hello_id, hello_id, tok.eot]
+        lo_id = tok.encoder["lo</w>"]
+        assert list(ids[1][:3]) == [tok.sot, lo_id, tok.eot]
+
+    def test_truncation_keeps_eot(self, tmp_path):
+        path = tmp_path / "bpe_vocab.txt"
+        path.write_text("#version: 0.2\n")
+        tok = ClipBPETokenizer(str(path))
+        ids = tok(["a b c d e f g h i j"], max_len=5)
+        assert ids[0, -1] == tok.eot
+
+
+class TestConditionerBackbones:
+    def test_dinov2_backbone_shapes(self):
+        from gaussiananything_tpu.models.conditioner import ImageConditioner
+        m = ImageConditioner(width=D, depth=1, heads=HEADS, img_size=IMG,
+                             backbone="dinov2")
+        imgs = jnp.zeros((2, 3, IMG, IMG))
+        params = m.init(jax.random.key(0), imgs)
+        out = m.apply(params, imgs)
+        L = (IMG // 14) ** 2 + 1
+        assert out.crossattn.shape == (2, L, D)
+        assert out.vector.shape == (2, D)
+        unc = m.unconditional(2)
+        assert unc.crossattn.shape == out.crossattn.shape
+
+    def test_openclip_backbone_shapes(self):
+        from gaussiananything_tpu.models.conditioner import TextConditioner
+        m = TextConditioner(width=TD, depth=1, heads=THEADS, max_len=TLEN,
+                            backbone="openclip")
+        ids = jnp.zeros((2, TLEN), jnp.int32)
+        params = m.init(jax.random.key(0), ids)
+        out = m.apply(params, ids)
+        assert out.crossattn.shape == (2, TLEN, TD)
+        assert out.vector.shape == (2, TD)
