@@ -23,6 +23,11 @@ def main(argv=None):
     p.add_argument("--logdir", default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--adv", action="store_true", help="enable PatchGAN")
+    p.add_argument("--adv-start", type=int, default=0,
+                   help="generator-side adversarial delay steps")
+    p.add_argument("--lpips-npz", default=None,
+                   help="converted VGG-LPIPS params (param_io npz); "
+                        "default: random-pyramid perceptual fallback")
     p.add_argument("--resume", default=None)
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--save-every", type=int, default=1000)
@@ -100,14 +105,21 @@ def main(argv=None):
 
     loss_cfg = VAELossConfig(
         lod_resolutions=cfg.render.lod_resolutions,
-        adv_weight=0.05 if args.adv else 0.0)
+        adv_weight=0.05 if args.adv else 0.0,
+        adv_start_step=args.adv_start)
+    lpips_params = None
+    if args.lpips_npz:
+        from gaussiananything_tpu.utils.param_io import load_params_npz
+        lpips_params = load_params_npz(args.lpips_npz)
+        print(f"loaded VGG-LPIPS weights from {args.lpips_npz}")
     tx_cfg = TrainStateConfig(lr=cfg.optim.lr,
                               weight_decay=cfg.optim.weight_decay,
                               grad_clip=cfg.optim.grad_clip,
                               ema_decay=cfg.optim.ema_decay,
                               warmup_steps=cfg.optim.warmup_steps)
     disc = PatchDiscriminator() if args.adv else None
-    step_fn = make_train_step(model, loss_cfg, tx_cfg, disc_model=disc)
+    step_fn = make_train_step(model, loss_cfg, tx_cfg, disc_model=disc,
+                              lpips_params=lpips_params)
     tx = make_optimizer(tx_cfg)
     state = TrainState.create(params, tx)
     if args.resume:
@@ -122,6 +134,10 @@ def main(argv=None):
              loss_cfg.lod_resolutions[-1])))
         dstate = TrainState.create(replicate(mesh, dp), tx)
         dstep_fn = make_disc_step(model, disc, loss_cfg, tx_cfg)
+        # discriminator checkpoint parity (`nsr/train_nv_util.py:1637-1692`)
+        if args.resume and os.path.isdir(args.resume + "_disc"):
+            dstate = restore_checkpoint(args.resume + "_disc", dstate)
+            print(f"resumed discriminator at step {int(dstate.step)}")
 
     import time
     t0 = time.time()
@@ -161,7 +177,11 @@ def main(argv=None):
             logger.dumpkvs(i + 1)
         if (i + 1) % args.save_every == 0:
             save_checkpoint(os.path.join(logdir, "ckpt"), state)
+            if dstate is not None:
+                save_checkpoint(os.path.join(logdir, "ckpt_disc"), dstate)
     save_checkpoint(os.path.join(logdir, "ckpt"), state)
+    if dstate is not None:
+        save_checkpoint(os.path.join(logdir, "ckpt_disc"), dstate)
     print("done")
 
 

@@ -64,8 +64,11 @@ class TrainState:
 # ------------------------------------------------------------ checkpoints
 
 def save_checkpoint(path: str, state: TrainState, keep: int = 3):
+    import os
+
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)  # orbax/tensorstore rejects relative paths
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(f"{path}/step_{int(state.step):08d}", state)
     ckpt.wait_until_finished()
@@ -82,4 +85,4 @@ def restore_checkpoint(path: str, template: TrainState,
                        if d.startswith("step_"))
         step = steps[-1]
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(f"{path}/step_{step:08d}", template)
+    return ckpt.restore(f"{os.path.abspath(path)}/step_{step:08d}", template)

@@ -55,6 +55,11 @@ class VAELossConfig:
     # set (128, 256, 384, 512) for release parity)
     lod_resolutions: Tuple[int, ...] = (64, 128, 192, 256)
     adv_weight: float = 0.0
+    # reference GAN machinery (`nsr/train_nv_util.py:2877-3014`,
+    # `dnnlib/util.py:41`): generator-side adversarial term is delayed and
+    # balanced against the reconstruction gradient.
+    adv_start_step: int = 0
+    adaptive_adv: bool = True
     # rand_base_render parity (`vit/vit_triplane.py:1550-1591`): per step
     # supervise ONE random coarse LoD + the finest, instead of all LoDs —
     # bounds render compute like the reference. Off by default (small
@@ -95,7 +100,7 @@ def _resize_to(x: jnp.ndarray, res: int) -> jnp.ndarray:
 
 def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
                 step: jnp.ndarray, cfg: VAELossConfig,
-                disc_params=None, disc_model=None):
+                disc_params=None, disc_model=None, lpips_params=None):
     """batch keys:
       images_in   (B, V_in, 15, H, W)  — encoder input views
       pcd         (B, P, 3)            — FPS source point cloud
@@ -127,7 +132,8 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
             B, V = gt_img.shape[:2]
             p = L.perceptual_loss(
                 rend["image"].reshape((B * V,) + rend["image"].shape[2:]),
-                gt_img.reshape((B * V,) + gt_img.shape[2:]))
+                gt_img.reshape((B * V,) + gt_img.shape[2:]),
+                params=lpips_params)
             sub += jnp.where(lpips_lod == i, cfg.perceptual_weight, 0.0) * p
             if log:
                 logs[f"lpips_lod{i}"] = p
@@ -180,7 +186,12 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     total += cfg.dist_weight * dist_gate * jnp.mean(fin["dist"])
     logs["dist"] = jnp.mean(fin["dist"])
     normal_gate = (step >= cfg.normal_start_step).astype(jnp.float32)
-    surf_n = L.depth_to_normal(fin["depth"], batch["cam_view"],
+    # EXPECTED depth feeds the depth→normal surface, matching the reference
+    # (`utils/point_utils.py:11,65` consumes allmap ch0/alpha, the
+    # alpha-normalised expected depth — NOT the median). The depth L1/SI
+    # supervision above stays on the median (`nsr/gs_surfel.py:137` exports
+    # median as 'depth', which the reference's depth losses consume).
+    surf_n = L.depth_to_normal(fin["depth_expected"], batch["cam_view"],
                                batch["tanfov"])
     nl = L.normal_consistency_loss(fin["rend_normal"], surf_n, fin["alpha"])
     total += cfg.normal_weight * normal_gate * nl
@@ -200,7 +211,40 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
             (B * V,) + renders[-1]["image"].shape[2:])
         logits_fake = disc_model.apply(disc_params, fake)
         g_loss = L.hinge_g_loss(logits_fake)
-        total += cfg.adv_weight * g_loss
+        adv_gate = (step >= cfg.adv_start_step).astype(jnp.float32)
+        if cfg.adaptive_adv:
+            # calculate_adaptive_weight parity (`dnnlib/util.py:41`):
+            # w = ‖∇rec‖ / (‖∇adv‖ + 1e-4) clipped to [0, 1e4]. The torch
+            # version differentiates w.r.t. the decoder's LAST LAYER
+            # weights; here we differentiate w.r.t. the finest gaussian
+            # tensor (the decoder's output activations) — same balancing
+            # signal, but the backward stops at the rasterizer instead of
+            # re-entering the decoder. One extra finest render fwd + two
+            # short backwards, only when the GAN is enabled.
+            res_f = cfg.lod_resolutions[n_lod - 1]
+            gt_f = _resize_to(batch["images_sup"], res_f)
+
+            def heads(g):
+                rend = render_lods([g], batch["cam_view"],
+                                   batch["cam_view_proj"], batch["tanfov"],
+                                   bg, [res_f])[0]
+                img = rend["image"]
+                rec = cfg.l1_weight * L.l1(img, gt_f)
+                fk = img.reshape((B * V,) + img.shape[2:])
+                adv = L.hinge_g_loss(disc_model.apply(disc_params, fk))
+                return rec, adv
+
+            _, vjp = jax.vjp(heads, jax.lax.stop_gradient(lods[-1]))
+            one, zero = jnp.ones(()), jnp.zeros(())
+            g_rec, = vjp((one, zero))
+            g_adv, = vjp((zero, one))
+            w_adapt = (jnp.linalg.norm(g_rec.reshape(-1))
+                       / (jnp.linalg.norm(g_adv.reshape(-1)) + 1e-4))
+            w_adapt = jax.lax.stop_gradient(jnp.clip(w_adapt, 0.0, 1e4))
+            logs["adaptive_w"] = w_adapt
+        else:
+            w_adapt = 1.0
+        total += cfg.adv_weight * adv_gate * w_adapt * g_loss
         logs["g_loss"] = g_loss
 
     logs["total"] = total
@@ -208,8 +252,12 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
 
 
 def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
-                    disc_model=None):
-    """Returns a jittable train_step(state, batch, rng) → (state, logs)."""
+                    disc_model=None, lpips_params=None):
+    """Returns a jittable train_step(state, batch, rng) → (state, logs).
+
+    `lpips_params`: optional converted VGG-LPIPS tree
+    (`utils/param_io.convert_lpips_vgg`) — frozen, closed over the jit.
+    """
     from gaussiananything_tpu.train.state import TrainStateConfig
     tx_cfg = tx_cfg or TrainStateConfig()
     tx = make_optimizer(tx_cfg)
@@ -219,7 +267,7 @@ def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
                    disc_params=None):
         def loss(p):
             return vae_loss_fn(p, model, batch, rng, state.step, cfg,
-                               disc_params, disc_model)
+                               disc_params, disc_model, lpips_params)
 
         (_, (logs, _, _)), grads = jax.value_and_grad(
             loss, has_aux=True)(state.params)
@@ -263,7 +311,7 @@ def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None):
 
 
 def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
-                          tx_cfg=None, disc_model=None):
+                          tx_cfg=None, disc_model=None, lpips_params=None):
     """TRUE gradient accumulation (the reference's microbatch loop,
     `nsr/train_util.py:95`): grads averaged over n_micro sequential
     micro-slices via `lax.scan`, ONE optimiser step. The batch's leading
@@ -278,7 +326,7 @@ def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
         def micro(b, key):
             def loss(p):
                 return vae_loss_fn(p, model, b, key, state.step, cfg,
-                                   disc_params, disc_model)
+                                   disc_params, disc_model, lpips_params)
 
             (_, (logs, _, _)), grads = jax.value_and_grad(
                 loss, has_aux=True)(state.params)

@@ -234,3 +234,44 @@ class TestGradAccumulation:
                                    float(optax_global_norm(manual)),
                                    rtol=1e-4)
         assert int(new_state.step) == 1
+
+
+class TestAdversarialMachinery:
+    """Reference GAN-balancing parity: adaptive generator weight
+    (`dnnlib/util.py:41`) and the adversarial delay gate
+    (`nsr/train_nv_util.py:2877-3014` lpips/adv delay iters)."""
+
+    def _adv_loss(self, tiny_setup, step, adv_start, adaptive):
+        from gaussiananything_tpu.train.losses import PatchDiscriminator
+        model, params, batch = tiny_setup
+        disc = PatchDiscriminator(ch=32, layers=2)
+        dp = disc.init(jax.random.PRNGKey(2), jnp.zeros((1, 3, 32, 32)))
+        cfg = VAELossConfig(lod_resolutions=(16, 32), perceptual_weight=0.0,
+                            adv_weight=0.1, adv_start_step=adv_start,
+                            adaptive_adv=adaptive)
+        loss, (logs, _, _) = vae_loss_fn(
+            params, model, batch, jax.random.PRNGKey(1),
+            jnp.asarray(step, jnp.int32), cfg, disc_params=dp,
+            disc_model=disc)
+        return float(loss), {k: float(v) for k, v in logs.items()}
+
+    def test_delay_gate(self, tiny_setup):
+        # same step (so KL-anneal etc. are identical); only the gate flips.
+        before, logs_b = self._adv_loss(tiny_setup, step=100, adv_start=500,
+                                        adaptive=False)
+        after, logs_a = self._adv_loss(tiny_setup, step=100, adv_start=50,
+                                       adaptive=False)
+        assert logs_b["g_loss"] == pytest.approx(logs_a["g_loss"])
+        np.testing.assert_allclose(after - before,
+                                   0.1 * logs_a["g_loss"], rtol=1e-5)
+
+    def test_adaptive_weight_scales_adv_term(self, tiny_setup):
+        ungated, logs_u = self._adv_loss(tiny_setup, step=0, adv_start=0,
+                                         adaptive=True)
+        base, logs_b = self._adv_loss(tiny_setup, step=0, adv_start=10**9,
+                                      adaptive=True)
+        w = logs_u["adaptive_w"]
+        assert np.isfinite(w) and 0.0 <= w <= 1e4
+        np.testing.assert_allclose(ungated - base,
+                                   0.1 * w * logs_u["g_loss"], rtol=1e-4,
+                                   atol=1e-7)
