@@ -31,7 +31,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from gaussiananything_tpu.config import preset
+    from gaussiananything_tpu.config import compute_dtype, preset
     from gaussiananything_tpu.data.synthetic import make_batch
     from gaussiananything_tpu.models.vae import PointVAE
     from gaussiananything_tpu.train.fm_trainer import XYZ_SCALE
@@ -47,7 +47,8 @@ def main(argv=None):
         decoder_width=cfg.vae.decoder_width,
         decoder_depth=cfg.vae.decoder_depth,
         decoder_heads=cfg.vae.decoder_heads,
-        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths)
+        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
+        dtype=compute_dtype(cfg.vae.compute_dtype))
 
     rng = jax.random.PRNGKey(0)
     b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,

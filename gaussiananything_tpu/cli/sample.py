@@ -42,7 +42,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from gaussiananything_tpu.config import preset
+    from gaussiananything_tpu.config import compute_dtype, preset
     from gaussiananything_tpu.data.synthetic import (make_object,
                                                      render_scene_views)
     from gaussiananything_tpu.models.conditioner import ImageConditioner
@@ -64,20 +64,21 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     tx = make_optimizer(TrainStateConfig())
 
+    dtype = compute_dtype(cfg.dit.compute_dtype)
     dit1 = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
-                      vector_dim=cfg.dit.cond_width)
+                      vector_dim=cfg.dit.cond_width, dtype=dtype)
     if args.text is not None:
         from gaussiananything_tpu.models.conditioner import (
             TextConditioner, tokenize_bytes)
         cond = TextConditioner(width=cfg.dit.cond_width,
                                depth=cfg.dit.cond_depth,
-                               heads=cfg.dit.cond_heads)
+                               heads=cfg.dit.cond_heads, dtype=dtype)
         cond_img = jnp.asarray(tokenize_bytes([args.text]))
     else:
         cond = ImageConditioner(width=cfg.dit.cond_width,
                                 depth=cfg.dit.cond_depth,
                                 heads=cfg.dit.cond_heads,
-                                img_size=cfg.dit.cond_img_size)
+                                img_size=cfg.dit.cond_img_size, dtype=dtype)
         if args.image_dir:
             from gaussiananything_tpu.data.real import RealImageDataset
             ds = RealImageDataset(args.image_dir,
@@ -124,7 +125,7 @@ def main(argv=None):
         if args.stage2_ckpt or args.vae_ckpt:
             dit2 = stage2_dit(cfg.dit.size, z_channels=cfg.vae.z_channels,
                               cond_dim=cfg.dit.cond_width,
-                              vector_dim=cfg.dit.cond_width)
+                              vector_dim=cfg.dit.cond_width, dtype=dtype)
             z0 = jnp.zeros((1, K, cfg.vae.z_channels))
             dit2_params = dit2.init(
                 rng, z0, jnp.zeros((1,)),
@@ -145,7 +146,8 @@ def main(argv=None):
                 decoder_width=cfg.vae.decoder_width,
                 decoder_depth=cfg.vae.decoder_depth,
                 decoder_heads=cfg.vae.decoder_heads,
-                up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths)
+                up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
+                dtype=compute_dtype(cfg.vae.compute_dtype))
             from gaussiananything_tpu.data.synthetic import make_batch
             b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
                             n_views_sup=1, res=cfg.data.resolution,

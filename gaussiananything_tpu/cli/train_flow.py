@@ -35,7 +35,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from gaussiananything_tpu.config import RunConfig, preset
+    from gaussiananything_tpu.config import RunConfig, compute_dtype, preset
     from gaussiananything_tpu.diffusion.transport import create_transport
     from gaussiananything_tpu.models.conditioner import (ImageConditioner,
                                                          TextConditioner)
@@ -64,8 +64,9 @@ def main(argv=None):
         f.write(cfg.to_json())
 
     mk = stage1_dit if args.stage == 1 else stage2_dit
+    dtype = compute_dtype(cfg.dit.compute_dtype)
     dit_kw = dict(size=cfg.dit.size, cond_dim=cfg.dit.cond_width,
-                  vector_dim=cfg.dit.cond_width)
+                  vector_dim=cfg.dit.cond_width, dtype=dtype)
     if args.stage == 2:
         dit_kw["z_channels"] = cfg.vae.z_channels
     dit = mk(**dit_kw)
@@ -74,12 +75,12 @@ def main(argv=None):
                                 depth=cfg.dit.cond_depth,
                                 heads=cfg.dit.cond_heads,
                                 img_size=cfg.dit.cond_img_size,
-                                ucg_rate=cfg.dit.ucg_rate)
+                                ucg_rate=cfg.dit.ucg_rate, dtype=dtype)
     else:
         cond = TextConditioner(width=cfg.dit.cond_width,
                                depth=cfg.dit.cond_depth,
                                heads=cfg.dit.cond_heads,
-                               ucg_rate=cfg.dit.ucg_rate)
+                               ucg_rate=cfg.dit.ucg_rate, dtype=dtype)
 
     in_ch = 3 if args.stage == 1 else cfg.vae.z_channels
     K = cfg.vae.latent_num

@@ -39,7 +39,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from gaussiananything_tpu.config import RunConfig, preset
+    from gaussiananything_tpu.config import RunConfig, compute_dtype, preset
     from gaussiananything_tpu.data.synthetic import make_batch
     from gaussiananything_tpu.models.vae import PointVAE
     from gaussiananything_tpu.parallel.mesh import (make_mesh, replicate,
@@ -73,7 +73,8 @@ def main(argv=None):
         decoder_depth=cfg.vae.decoder_depth,
         decoder_heads=cfg.vae.decoder_heads,
         up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
-        skip_weight=cfg.vae.skip_weight)
+        skip_weight=cfg.vae.skip_weight,
+        dtype=compute_dtype(cfg.vae.compute_dtype))
 
     def data_iter(seed0: int):
         s = seed0

@@ -26,6 +26,10 @@ class VAEModelConfig:
     up_factors: Tuple[int, ...] = (8, 4, 3)
     up_depths: Tuple[int, ...] = (2, 1, 1)
     skip_weight: float = 0.1
+    # "bfloat16" = mixed precision: bf16 matmul/activation compute, fp32
+    # params + norms + adaLN + latent stats + gaussian activations (the
+    # reference trains BF16 AMP, `nsr/train_util.py:119-127`).
+    compute_dtype: str = "float32"
 
 
 @dataclass
@@ -39,6 +43,7 @@ class DiTConfig:
     cond_heads: int = 16
     cond_img_size: int = 224
     ucg_rate: float = 0.1
+    compute_dtype: str = "float32"   # see VAEModelConfig.compute_dtype
 
 
 @dataclass
@@ -164,3 +169,13 @@ def preset(name: str) -> RunConfig:
     else:
         raise KeyError(name)
     return c
+
+
+def compute_dtype(name: str):
+    """Config string → jnp dtype ("float32" | "bfloat16")."""
+    import jax.numpy as jnp
+    table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(f"compute_dtype must be one of {sorted(table)}, "
+                         f"got {name!r}")
+    return table[name]

@@ -104,10 +104,18 @@ class HybridPCDEncoder(nn.Module):
         tokens = tokens + XYZPosEmbed(self.width, dtype=self.dtype)(tok_xyz)
 
         anchors, _ = sample_farthest_points(pcd, self.latent_num)
-        q = XYZPosEmbed(self.width, dtype=self.dtype, name="anchor_embed")(
-            anchors)
+        # one PE table for the pcd; queries are its values at the FPS
+        # anchors (reference: query_pcd_h = masked_gather(pcd_h, fps_idx))
+        anchor_embed = XYZPosEmbed(self.width, dtype=self.dtype,
+                                   name="anchor_embed")
+        pcd_h = anchor_embed(pcd)
+        q = anchor_embed(anchors)
+        # aggregate from BOTH the image tokens and the PE'd point cloud
+        # (`nsr/srt/encoder.py:594-597` agg_ca(query_pcd_h, cat([h, pcd_h]));
+        # ca_no_pcd defaults False on the release path)
+        kv = jnp.concatenate([tokens, pcd_h], axis=1)
         q = CrossAttentionBlock(self.heads, qk_norm=True, dtype=self.dtype,
-                                name="agg_ca")(q, tokens)
+                                name="agg_ca")(q, kv)
         for i in range(self.srt_depth):
             q = TransformerBlock(self.heads, dtype=self.dtype,
                                  name=f"srt_{i}")(q)

@@ -119,7 +119,9 @@ class PointVAE(nn.Module):
     def encode(self, images: jnp.ndarray, pcd: jnp.ndarray
                ) -> Tuple[DiagonalGaussian, jnp.ndarray]:
         h, anchors = self.encoder(images, pcd)
-        moments = self.quant_mlp(h)
+        # fp32 latent statistics regardless of compute dtype: the KL and
+        # the sampled z are the VAE's numerical core.
+        moments = self.quant_mlp(h).astype(jnp.float32)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return DiagonalGaussian(mean, soft_clamp(logvar)), anchors
 

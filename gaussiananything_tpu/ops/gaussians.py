@@ -61,7 +61,15 @@ def activate_gaussians(raw: jnp.ndarray, anchor_xyz: jnp.ndarray,
 
     `skip_weight` scales the tanh offset (reference default 0.1,
     `vit/vit_triplane.py:1289`).
+
+    Always computes (and returns) fp32 regardless of the head's compute
+    dtype: the activated gaussians feed the fp32 rasterizer and camera
+    math, pinning the bf16↔fp32 boundary here (the reference's BF16 AMP
+    likewise autocasts the renderer inputs back to fp32,
+    `nsr/train_util.py:119-127`).
     """
+    raw = raw.astype(jnp.float32)
+    anchor_xyz = anchor_xyz.astype(jnp.float32)
     offset = jnp.tanh(raw[..., 0:3]) * (pos_bound * 0.5 * skip_weight)
     xyz = jnp.clip(anchor_xyz + offset, -pos_bound, pos_bound)
     opacity = jax.nn.sigmoid(raw[..., 3:4])

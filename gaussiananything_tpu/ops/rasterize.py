@@ -45,6 +45,22 @@ ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 NEAR_CULL = 0.2
+# Explicit 3σ kernel cutoff. The CUDA pipeline truncates each splat at its
+# binned tile RECT (ragged, bbox of the 3σ disk) — an implicit spatial
+# cutoff whose kept-vs-dropped boundary depends on tile geometry. Cutting
+# the kernel at rho > 9 instead makes the truncation a property of the
+# SPLAT (identical in oracle, tiled, and band renders at any tile size),
+# at a deviation from CUDA bounded by op·e^{-4.5} ≈ 0.011 in the rect
+# corners beyond 3σ. The cut is a linear ramp over rho ∈ [8, 9] (not a
+# step) so the render stays continuous in the splat parameters — a hard
+# cut puts O(0.01) jumps exactly where autodiff and finite differences
+# must agree.
+RHO_CUT = 9.0
+RHO_RAMP = 1.0
+
+
+def _rho_window(rho: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip((RHO_CUT - rho) / RHO_RAMP, 0.0, 1.0)
 ZNEAR, ZFAR = 0.01, 100.0
 
 
@@ -161,7 +177,7 @@ def _splat_alpha_depth(px: jnp.ndarray, py: jnp.ndarray, sp: SplatProj
     z_int = u * sp.t_z[None, :, 0] + v * sp.t_z[None, :, 1] + sp.t_z[None, :, 2]
     depth = jnp.where(use3d, z_int, sp.center_z[None, :])
 
-    g = jnp.exp(-0.5 * rho)
+    g = jnp.exp(-0.5 * rho) * _rho_window(rho)
     alpha = jnp.minimum(sp.opacity[None, :] * g, ALPHA_MAX)
     keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL) & sp.valid[None, :]
     return jnp.where(keep, alpha, 0.0), jnp.where(keep, depth, 0.0)
@@ -405,7 +421,7 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
     rho = jnp.minimum(rho3d, rho2d)
     depth = jnp.where(use3d, u * tz0 + v * tz1 + tz2, cz)
 
-    g = jnp.exp(-0.5 * rho)
+    g = jnp.exp(-0.5 * rho) * _rho_window(rho)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
     keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL)
     alpha = jnp.where(keep, alpha, 0.0)
@@ -459,36 +475,58 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
 # Tiled production path: XLA sort-based binning + capped per-tile lists.
 # ---------------------------------------------------------------------------
 
-def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
-                     max_per_tile: int, row0=0
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bin splats into per-tile depth-sorted index lists (static shapes).
+def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
+                     max_per_tile: int, row0=0,
+                     big_capacity: int = 0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Bin splats into a tile-sorted, depth-ordered flat pair array.
 
-    Strategy: sort splats by depth once; emit (tile_id, splat) pairs for every
-    tile in each splat's conservative bbox (cap `max_span` tiles per splat);
-    stable-sort pairs by tile id — stability preserves depth order within a
-    tile, reproducing the CUDA (tile, depth) radix sort. Overflow beyond
-    max_per_tile is dropped farthest-first (graceful degradation).
+    Two-bucket emission (the sort over (tile, splat) pairs is the frame-
+    dominant binning cost — 26 of 40 ms at 512²/73k with the naive
+    N×36-slot scheme, because nearly every splat spans ≤ 2×2 tiles):
 
-    Returns (tiles_y*tiles_x, max_per_tile) splat indices with -1 padding,
-    and the per-tile counts.
+      * SMALL bucket — every splat gets 4 slots covering a 2×2 tile
+        window (exact for footprints ≤ 2×2, the overwhelming majority).
+      * BIG bucket — splats whose span exceeds 2×2 are compacted (depth
+        order preserved) into `big_capacity` 36-slot entries (6×6 window,
+        the same global clamp as before; radius is cropped to it). Bigs
+        beyond capacity degrade to their top-left 2×2 window in the small
+        bucket (graceful partial coverage, analogous to the max_per_tile
+        farthest-first drop).
+
+    `big_capacity=0` → auto: exact single-pass behaviour for N ≤ 16384
+    (capacity = N: sorting is cheap there), else max(N // 8, 12288).
+
+    Within-tile depth order is restored by co-sorting on the lexicographic
+    (tile, depth-rank) key — reproducing the CUDA (tile | depth) radix
+    sort key of `diff-surfel-rasterization` consumed at
+    `nsr/gs_surfel.py:85-114`.
+
+    Returns (pairs, starts, counts): `pairs` is the flat splat-id array
+    (concatenated per-tile depth-sorted segments, padded with
+    `max_per_tile` trailing zeros so a (starts[t] + c) dynamic slice of
+    any chunk ≤ max_per_tile never clamps), `starts[t]` the segment
+    offset, `counts[t] = min(segment length, max_per_tile)`.
     """
     tiles_x = img_w // tile
     tiles_y = img_h // tile
     n_tiles = tiles_x * tiles_y
     N = sp.center_z.shape[0]
+    if big_capacity <= 0:
+        big_capacity = N if N <= 16384 else max(N // 8, 12288)
+    big_capacity = min(big_capacity, N)
 
     order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
     cx = jnp.take(sp.center_pix[:, 0], order)
     cy = jnp.take(sp.center_pix[:, 1], order) - row0   # band-local rows
     r = jnp.take(sp.radius_pix, order)
-    # Clamp the footprint so a splat's tile span NEVER exceeds max_span —
+    # Clamp the footprint so a splat's tile span NEVER exceeds 6×6 —
     # truncating the pair list instead would drop different tiles in full
     # vs band (sharded) binning. Clamp = hard crop of giant splats' outer
-    # 3σ halo at (√max_span−1)·tile/2 px. MUST be a global constant (not a
+    # 3σ halo at (span_side−1)·tile/2 px. MUST be a global constant (not a
     # function of this grid's n_tiles) so full-image and band renders cut
     # splats identically.
-    max_span = 36
+    big_span = 36
     span_side = 6
     r = jnp.minimum(r, (span_side - 1) * tile / 2)
     valid = jnp.take(sp.valid, order)
@@ -502,24 +540,60 @@ def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
 
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
+    rank = jnp.arange(N, dtype=jnp.int32)                   # depth rank
 
-    # Emit pairs: for slot s in [0, max_span): tile offset (s % span_x, s // span_x)
-    slots = jnp.arange(max_span, dtype=jnp.int32)
-    off_x = slots[None, :] % jnp.maximum(span_x, 1)[:, None]
-    off_y = slots[None, :] // jnp.maximum(span_x, 1)[:, None]
-    pair_tile = (ty0[:, None] + off_y) * tiles_x + (tx0[:, None] + off_x)
-    pair_ok = valid[:, None] & (slots[None, :] < (span_x * span_y)[:, None]) \
-        & (off_y < span_y[:, None])
-    pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)      # sentinel bucket
+    # Compact big splats (depth order preserved by the monotone cumsum).
+    is_big = valid & ((span_x > 2) | (span_y > 2))
+    pos = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    sel = is_big & (pos < big_capacity)
+    slot = jnp.where(sel, pos, big_capacity)                # overflow bin
 
-    # Pairs are generated splat-major in depth order; stable sort by tile id.
-    # lax.sort with a carried value operand replaces argsort + two 2.65M
-    # random gathers — the gathers cost ~8x the sort itself on TPU
-    # (measured: argsort 10 ms + takes 78 ms vs co-sort 10 ms at 512²/73k).
-    flat_tile = pair_tile.reshape(-1)
-    flat_splat = jnp.broadcast_to(order[:, None], (N, max_span)).reshape(-1)
-    s_tile, s_splat = jax.lax.sort((flat_tile, flat_splat), num_keys=1,
-                                   is_stable=True)
+    def compact(a):
+        return jnp.zeros((big_capacity + 1,), a.dtype).at[slot].set(
+            jnp.where(sel, a, jnp.zeros((), a.dtype)))
+
+    b_tx0, b_ty0 = compact(tx0), compact(ty0)
+    b_span_x, b_span_y = compact(span_x), compact(span_y)
+    b_rank, b_splat = compact(rank), compact(order)
+    b_valid = compact(sel)
+
+    # SMALL bucket: 4 slots over a 2×2 window; unselected bigs fall back
+    # to their top-left 2×2 (partial coverage).
+    slots4 = jnp.arange(4, dtype=jnp.int32)
+    s_off_x = slots4[None, :] % 2
+    s_off_y = slots4[None, :] // 2
+    s_ok = valid[:, None] & ~sel[:, None] \
+        & (s_off_x < jnp.minimum(span_x, 2)[:, None]) \
+        & (s_off_y < jnp.minimum(span_y, 2)[:, None])
+    s_tile4 = (ty0[:, None] + s_off_y) * tiles_x + (tx0[:, None] + s_off_x)
+    s_tile4 = jnp.where(s_ok, s_tile4, n_tiles)             # sentinel bucket
+
+    # BIG bucket: 36 slots over the (clamped) 6×6 window.
+    slots36 = jnp.arange(big_span, dtype=jnp.int32)
+    b_off_x = slots36[None, :] % jnp.maximum(b_span_x, 1)[:, None]
+    b_off_y = slots36[None, :] // jnp.maximum(b_span_x, 1)[:, None]
+    b_ok = b_valid[:, None] \
+        & (slots36[None, :] < (b_span_x * b_span_y)[:, None]) \
+        & (b_off_y < b_span_y[:, None])
+    b_tile36 = (b_ty0[:, None] + b_off_y) * tiles_x + (b_tx0[:, None] + b_off_x)
+    b_tile36 = jnp.where(b_ok, b_tile36, n_tiles)
+
+    flat_tile = jnp.concatenate([s_tile4.reshape(-1), b_tile36.reshape(-1)])
+    flat_rank = jnp.concatenate([
+        jnp.broadcast_to(rank[:, None], (N, 4)).reshape(-1),
+        jnp.broadcast_to(b_rank[:, None],
+                         (big_capacity + 1, big_span)).reshape(-1)])
+    flat_splat = jnp.concatenate([
+        jnp.broadcast_to(order[:, None], (N, 4)).reshape(-1),
+        jnp.broadcast_to(b_splat[:, None],
+                         (big_capacity + 1, big_span)).reshape(-1)])
+
+    # Lexicographic (tile, rank) co-sort carrying the splat id: one
+    # variadic lax.sort instead of argsort + random gathers (the gathers
+    # cost ~8× the sort itself on TPU). Keys are unique per live pair, so
+    # stability is unnecessary.
+    s_tile, _, s_splat = jax.lax.sort((flat_tile, flat_rank, flat_splat),
+                                      num_keys=2, is_stable=False)
 
     # Per-tile offsets & counts: one searchsorted over the bucket boundaries
     # (bucket i spans [starts[i], starts[i+1]); n_tiles is the sentinel).
@@ -528,12 +602,180 @@ def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
     starts = bounds[:-1]
     counts = jnp.minimum(bounds[1:] - starts, max_per_tile)
 
+    pairs = jnp.concatenate(
+        [s_splat, jnp.zeros((max_per_tile,), s_splat.dtype)])
+    return pairs, starts, counts
+
+
+def build_tile_lists(sp: SplatProj, img_h: int, img_w: int, tile: int,
+                     max_per_tile: int, row0=0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialised per-tile depth-sorted index lists (static shapes).
+
+    Thin wrapper over `build_tile_pairs` kept for the Pallas variants and
+    tests: returns (tiles_y*tiles_x, max_per_tile) splat indices with -1
+    padding, and the per-tile counts. Overflow beyond max_per_tile is
+    dropped farthest-first (graceful degradation).
+    """
+    pairs, starts, counts = build_tile_pairs(sp, img_h, img_w, tile,
+                                             max_per_tile, row0=row0)
     j = jnp.arange(max_per_tile, dtype=jnp.int32)
     gather_idx = starts[:, None] + j[None, :]
     in_range = j[None, :] < counts[:, None]
     gather_idx = jnp.where(in_range, gather_idx, 0)
-    lists = jnp.where(in_range, jnp.take(s_splat, gather_idx), -1)
+    lists = jnp.where(in_range, jnp.take(pairs, gather_idx), -1)
     return lists, counts
+
+
+# ---------------------------------------------------------------------------
+# Frame compositing loop with a hand-managed reverse-scan VJP.
+#
+# Autodiff through the (group lax.map × chunk lax.scan) loop makes XLA
+# materialise the packed table's cotangent PER (group, chunk) iteration —
+# a stacked f32[n_groups, n_chunks, F, N+1] scatter buffer (19.3 GB at
+# 512²/73k with 64×8 iterations, measured OOM on v5e). The custom VJP
+# below stores only each chunk's ENTRY PixelState in the forward
+# (n_groups·n_chunks·G·P·13 floats ≈ 109 MB at 512²) and re-walks the
+# loop in reverse, accumulating d_packed in a single (F, N+1) scan carry.
+# ---------------------------------------------------------------------------
+
+def _frame_loop(static, packed, pairs, starts_s, counts_s, n_act,
+                tx_s, ty_s, row0f, keep_entries: bool):
+    """Primal count-adaptive group/chunk compositing loop.
+
+    static = (tile, G, chunk, n_chunks). Returns (stacked final PixelState
+    with leaves (n_groups, G, P, …), per-chunk entry states with leaves
+    (n_groups, n_chunks, G, P, …) or None).
+    """
+    tile, G, chunk, n_chunks = static
+    P = tile * tile
+    n_groups = tx_s.shape[0] // G
+    N_dummy = packed.shape[1] - 1
+    yy, xx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
+                          jnp.arange(tile, dtype=jnp.float32), indexing="ij")
+    local_x = xx.reshape(-1)
+    local_y = yy.reshape(-1)
+    j_chunk = jnp.arange(chunk, dtype=jnp.int32)
+
+    def slice_ids(st_g, ct_g, c):
+        # G contiguous int slices of the flat pair array (the max_per_tile
+        # tail padding guarantees no clamp shift); masked entries point at
+        # the dead dummy splat.
+        ids = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
+            pairs, s0 + c * chunk, chunk))(st_g)            # (G, chunk)
+        return jnp.where(c * chunk + j_chunk[None, :] < ct_g[:, None],
+                         ids, N_dummy)
+
+    def group_body(gi):
+        st_g = jax.lax.dynamic_slice_in_dim(starts_s, gi * G, G, 0)
+        ct_g = jax.lax.dynamic_slice_in_dim(counts_s, gi * G, G, 0)
+        tx = jax.lax.dynamic_slice_in_dim(tx_s, gi * G, G, 0)
+        ty = jax.lax.dynamic_slice_in_dim(ty_s, gi * G, G, 0)
+        px = local_x[None, :] + tx[:, None] * tile          # (G, P)
+        py = local_y[None, :] + ty[:, None] * tile + row0f
+        active = n_act[gi]
+
+        def chunk_body(st, c):
+            def run(s):
+                ids = slice_ids(st_g, ct_g, c)
+                d = jnp.take(packed, ids.reshape(-1), axis=1)
+                d = d.reshape(PACKED_F, G, chunk)
+                return composite_chunk_grouped(s, px, py, d)
+
+            nxt = jax.lax.cond(c < active, run, lambda s: s, st)
+            return nxt, (st if keep_entries else None)
+
+        state, entries = jax.lax.scan(chunk_body, init_pixel_state_g(G, P),
+                                      jnp.arange(n_chunks))
+        return state, entries
+
+    return jax.lax.map(group_body, jnp.arange(n_groups))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite_frame(static, packed, pairs, starts_s, counts_s, n_act,
+                     tx_s, ty_s, row0f) -> PixelState:
+    state, _ = _frame_loop(static, packed, pairs, starts_s, counts_s,
+                           n_act, tx_s, ty_s, row0f, keep_entries=False)
+    return state
+
+
+def _composite_frame_fwd(static, packed, pairs, starts_s, counts_s, n_act,
+                         tx_s, ty_s, row0f):
+    state, entries = _frame_loop(static, packed, pairs, starts_s, counts_s,
+                                 n_act, tx_s, ty_s, row0f, keep_entries=True)
+    return state, (packed, pairs, starts_s, counts_s, n_act, tx_s, ty_s,
+                   row0f, entries)
+
+
+def _composite_frame_bwd(static, res, ct):
+    (packed, pairs, starts_s, counts_s, n_act, tx_s, ty_s, row0f,
+     entries) = res
+    tile, G, chunk, n_chunks = static
+    n_groups = tx_s.shape[0] // G
+    N_dummy = packed.shape[1] - 1
+    yy, xx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
+                          jnp.arange(tile, dtype=jnp.float32), indexing="ij")
+    local_x = xx.reshape(-1)
+    local_y = yy.reshape(-1)
+    j_chunk = jnp.arange(chunk, dtype=jnp.int32)
+
+    def group_bwd(ct_packed, gi):
+        st_g = jax.lax.dynamic_slice_in_dim(starts_s, gi * G, G, 0)
+        ct_g = jax.lax.dynamic_slice_in_dim(counts_s, gi * G, G, 0)
+        tx = jax.lax.dynamic_slice_in_dim(tx_s, gi * G, G, 0)
+        ty = jax.lax.dynamic_slice_in_dim(ty_s, gi * G, G, 0)
+        px = local_x[None, :] + tx[:, None] * tile
+        py = local_y[None, :] + ty[:, None] * tile + row0f
+        active = n_act[gi]
+        idx_g = lambda a: jax.lax.dynamic_index_in_dim(a, gi, 0,  # noqa: E731
+                                                       keepdims=False)
+        ct_state = jax.tree.map(idx_g, ct)                  # (G, P, …)
+        entries_g = jax.tree.map(idx_g, entries)            # (n_chunks, …)
+
+        def chunk_bwd(carry, c_rev):
+            c = n_chunks - 1 - c_rev
+
+            def run(args):
+                ct_st, ctp = args
+                s_in = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, c, 0, keepdims=False), entries_g)
+                ids = slice_ids_bwd(st_g, ct_g, c)
+                d = jnp.take(packed, ids.reshape(-1), axis=1)
+                d = d.reshape(PACKED_F, G, chunk)
+                _, vjp = jax.vjp(
+                    lambda s_, d_: composite_chunk_grouped(s_, px, py, d_),
+                    s_in, d)
+                ct_s_in, ct_d = vjp(ct_st)
+                ctp = ctp.at[:, ids.reshape(-1)].add(
+                    ct_d.reshape(PACKED_F, G * chunk))
+                return ct_s_in, ctp
+
+            new = jax.lax.cond(c < active, run, lambda a: a, carry)
+            return new, None
+
+        def slice_ids_bwd(st_g_, ct_g_, c):
+            ids = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
+                pairs, s0 + c * chunk, chunk))(st_g_)
+            return jnp.where(c * chunk + j_chunk[None, :] < ct_g_[:, None],
+                             ids, N_dummy)
+
+        (_, ct_packed), _ = jax.lax.scan(chunk_bwd, (ct_state, ct_packed),
+                                         jnp.arange(n_chunks))
+        return ct_packed, None
+
+    ct_packed, _ = jax.lax.scan(group_bwd, jnp.zeros_like(packed),
+                                jnp.arange(n_groups))
+
+    import numpy as _np
+    f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0)    # noqa: E731
+    return (ct_packed, f0(pairs), f0(starts_s), f0(counts_s), f0(n_act),
+            jnp.zeros_like(tx_s), jnp.zeros_like(ty_s),
+            jnp.zeros_like(row0f))
+
+
+_composite_frame.defvjp(_composite_frame_fwd, _composite_frame_bwd)
 
 
 @functools.partial(
@@ -548,9 +790,9 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                     full_h: int = 0, row0=0) -> Dict[str, jnp.ndarray]:
     """Production renderer: one view, N splats, (img_h, img_w) output.
 
-    Differentiable via autodiff (binning indices are non-differentiable ints;
-    all value paths flow through gathers). Returns the dict of
-    `_state_to_outputs` reshaped to (H, W, C).
+    Differentiable: the compositing loop carries a hand-managed reverse-scan
+    VJP (`_composite_frame`); binning indices are non-differentiable ints.
+    Returns the dict of `_state_to_outputs` reshaped to (H, W, C).
 
     Band rendering (pixel/ray sharding across chips): pass the camera's
     `full_h` and this band's first row `row0` to render only rows
@@ -561,7 +803,7 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     assert max_per_tile % chunk == 0
     sp = preprocess_splats(gaussians, cam_view, cam_view_proj,
                            full_h or img_h, img_w, tanfov)
-    lists, counts = build_tile_lists(
+    pairs, starts, counts = build_tile_pairs(
         jax.tree.map(jax.lax.stop_gradient, sp), img_h, img_w, tile,
         max_per_tile, row0=row0)
     tiles_x = img_w // tile
@@ -587,57 +829,26 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     gmax = counts_s[::G]                                   # (n_groups,) maxima
     n_act = (gmax + chunk - 1) // chunk                    # chunks per group
 
-    # Pixel coords per tile (static): (tile*tile,) offsets + per-tile origin.
-    yy, xx = jnp.meshgrid(jnp.arange(tile, dtype=jnp.float32),
-                          jnp.arange(tile, dtype=jnp.float32), indexing="ij")
-    local_x = xx.reshape(-1)
-    local_y = yy.reshape(-1)
     tx_s = (order % tiles_x).astype(jnp.float32)           # sorted tile cols
     ty_s = (order // tiles_x).astype(jnp.float32)
 
-    # Splat data stays packed at (F, N); only the per-tile INDEX lists are
-    # materialised in sorted order (int32 — 22x smaller than gathered
-    # floats). The float gather happens inside the chunk loop, so gather
-    # traffic is count-adaptive like the compute: ~sum(counts) x F floats
-    # instead of n_tiles x max_per_tile x F (~5x at 512^2/73k, and it makes
-    # large max_per_tile nearly free for the dominant sparse tiles). The
-    # dummy column keeps -1 list entries pointing at a dead splat.
+    # Splat data stays packed at (F, N); per-tile id lists are NEVER
+    # materialised — each tile's ids live as a contiguous segment of the
+    # sorted flat `pairs` array, read with per-(group, chunk) dynamic
+    # slices. The float gather happens inside the chunk loop, so both
+    # gather traffic and compute are count-adaptive: ~sum(counts) x F
+    # floats instead of n_tiles x max_per_tile x F, and large
+    # max_per_tile is nearly free for the dominant sparse tiles. The
+    # dummy column keeps masked/padded entries pointing at a dead splat.
     packed = pack_splat_render(sp)                          # (F, N)
     packed = jnp.concatenate(
         [packed, jnp.zeros((PACKED_F, 1), jnp.float32)], axis=1)
-    N_dummy = packed.shape[1] - 1
-    lists_s = jnp.take(lists, order, axis=0)                # (n_tiles, mpt)
-    lists_s = jnp.where(lists_s < 0, N_dummy, lists_s)
+    starts_s = jnp.take(starts, order)                      # (n_tiles,)
 
-    def group_body(gi):
-        idx_g = jax.lax.dynamic_slice_in_dim(lists_s, gi * G, G, 0)
-        tx = jax.lax.dynamic_slice_in_dim(tx_s, gi * G, G, 0)
-        ty = jax.lax.dynamic_slice_in_dim(ty_s, gi * G, G, 0)
-        px = local_x[None, :] + tx[:, None] * tile          # (G, P)
-        py = local_y[None, :] + ty[:, None] * tile + row0
-        active = n_act[gi]
-
-        def chunk_body(st, c):
-            def run(s):
-                ids = jax.lax.dynamic_slice_in_dim(idx_g, c * chunk, chunk, 1)
-                # checkpoint (gather INSIDE it): the scan backward would
-                # otherwise store every chunk's gathered (F, G, K) data and
-                # (G, P, K) intermediates — the dominant training memory
-                # term. Only the int ids + pixel state are carried.
-                def comp(s_, ids_):
-                    d = jnp.take(packed, ids_.reshape(-1), axis=1)
-                    d = d.reshape(PACKED_F, G, chunk)
-                    return composite_chunk_grouped(s_, px, py, d)
-
-                return jax.checkpoint(comp)(s, ids)
-
-            return jax.lax.cond(c < active, run, lambda s: s, st), None
-
-        state, _ = jax.lax.scan(chunk_body, init_pixel_state_g(G, P),
-                                jnp.arange(n_chunks))
-        return _state_to_outputs(state, bg_color)
-
-    out = jax.lax.map(group_body, jnp.arange(n_groups))
+    state = _composite_frame((tile, G, chunk, n_chunks), packed, pairs,
+                             starts_s, counts_s, n_act, tx_s, ty_s,
+                             jnp.asarray(row0, jnp.float32))
+    out = _state_to_outputs(state, bg_color)                # leaves (ng,G,P,…)
 
     # leaves: (n_groups, G, P, C…) in sorted-tile order → undo the sort,
     # then detile to (H, W, C…).

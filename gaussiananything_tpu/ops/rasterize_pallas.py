@@ -113,7 +113,7 @@ def _make_kernel(tile: int, chunk: int, max_per_tile: int, tiles_x: int,
                 use3d = rho3d <= rho2d
                 rho = jnp.minimum(rho3d, rho2d)
                 depth = jnp.where(use3d, z_int, col(14))
-                g = jnp.exp(-0.5 * rho)
+                g = jnp.exp(-0.5 * rho) * rz._rho_window(rho)
                 alpha = jnp.minimum(col(15) * g, rz.ALPHA_MAX)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
                 in_count = (c * chunk + lane) < count
@@ -388,7 +388,7 @@ def _make_grouped_kernel(tile: int, chunk: int, max_per_tile: int,
             use3d = rho3d <= rho2d
             rho = jnp.minimum(rho3d, rho2d)
             depth = jnp.where(use3d, z_int, col(14))
-            gau = jnp.exp(-0.5 * rho)
+            gau = jnp.exp(-0.5 * rho) * rz._rho_window(rho)
             alpha = jnp.minimum(col(15) * gau, rz.ALPHA_MAX)
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (group, P, chunk), 2)
@@ -598,7 +598,7 @@ def _make_unrolled_kernel(tile: int, chunk: int, max_per_tile: int,
                 rho2d = rz.FILTER_INV_SQUARE * (dx * dx + dy * dy)
                 rho = jnp.minimum(rho3d, rho2d)
                 depth = jnp.where(rho3d <= rho2d, z_int, col(14))
-                gau = jnp.exp(-0.5 * rho)
+                gau = jnp.exp(-0.5 * rho) * rz._rho_window(rho)
                 alpha = jnp.minimum(col(15) * gau, rz.ALPHA_MAX)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
                 keep = ((alpha >= ALPHA_EPS) & (depth > NEAR_CULL)
