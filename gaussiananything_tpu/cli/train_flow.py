@@ -159,10 +159,14 @@ def main(argv=None):
                       sampler=cfg.transport.sampler)
     tx_cfg = TrainStateConfig(lr=cfg.optim.lr,
                               warmup_steps=cfg.optim.warmup_steps,
-                              grad_clip=cfg.optim.grad_clip)
+                              grad_clip=cfg.optim.grad_clip,
+                              ema_decay=cfg.optim.ema_decay,
+                              extra_ema_decays=cfg.optim.extra_ema_decays,
+                              lr_mults=cfg.optim.lr_mults)
     step_fn = make_fm_train_step(dit, cond, transport, fm_cfg, tx_cfg)
     tx = make_optimizer(tx_cfg)
-    state = TrainState.create(replicate(mesh, dit_params), tx)
+    state = TrainState.create(replicate(mesh, dit_params), tx,
+                              extra_ema_decays=cfg.optim.extra_ema_decays)
     cstate = TrainState.create(replicate(mesh, cond_params), tx)
 
     for i in range(cfg.optim.total_steps):

@@ -29,6 +29,10 @@ def main(argv=None):
                    help="converted VGG-LPIPS params (param_io npz); "
                         "default: random-pyramid perceptual fallback")
     p.add_argument("--resume", default=None)
+    p.add_argument("--load-submodule", default=None, metavar="NAME=CKPT",
+                   help="selective warm start: graft one top-level "
+                        "submodule (e.g. encoder=/path/to/ckpt) from a "
+                        "checkpoint (reference load_submodule_name)")
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--platform", default=None, help="cpu to force CPU")
@@ -117,15 +121,23 @@ def main(argv=None):
                               weight_decay=cfg.optim.weight_decay,
                               grad_clip=cfg.optim.grad_clip,
                               ema_decay=cfg.optim.ema_decay,
-                              warmup_steps=cfg.optim.warmup_steps)
+                              extra_ema_decays=cfg.optim.extra_ema_decays,
+                              warmup_steps=cfg.optim.warmup_steps,
+                              lr_mults=cfg.optim.lr_mults)
     disc = PatchDiscriminator() if args.adv else None
     step_fn = make_train_step(model, loss_cfg, tx_cfg, disc_model=disc,
                               lpips_params=lpips_params)
     tx = make_optimizer(tx_cfg)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx,
+                              extra_ema_decays=cfg.optim.extra_ema_decays)
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
+    if args.load_submodule:
+        from gaussiananything_tpu.train.state import load_submodule
+        name, _, ckpt = args.load_submodule.partition("=")
+        state = load_submodule(ckpt, state, name)
+        print(f"grafted submodule {name!r} from {ckpt}")
 
     dstate = None
     dstep_fn = None

@@ -70,9 +70,15 @@ class OptimConfig:
     weight_decay: float = 0.01
     grad_clip: float = 1.0
     ema_decay: float = 0.9999
+    # extra EMA rates (reference `--ema_rate "0.9999,..."` list)
+    extra_ema_decays: Tuple[float, ...] = ()
     warmup_steps: int = 1000
     batch_size: int = 8
     total_steps: int = 100_000
+    # ((top-level submodule name, lr multiplier), …) — the reference's
+    # decomposed optim groups (encoder_lr / vit_decoder_lr /
+    # super_resolution_lr, `nsr/train_util.py:852-905`)
+    lr_mults: Tuple[Tuple[str, float], ...] = ()
 
 
 @dataclass

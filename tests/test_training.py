@@ -275,3 +275,96 @@ class TestAdversarialMachinery:
         np.testing.assert_allclose(ungated - base,
                                    0.1 * w * logs_u["g_loss"], rtol=1e-4,
                                    atol=1e-7)
+
+
+class TestTrainerErgonomics:
+    """Reference parity: decomposed optim groups, EMA-rate list, selective
+    submodule resume (`nsr/train_util.py:78,97,852-905`)."""
+
+    def _mlp_params(self, seed=0):
+        # two identically-shaped top-level submodules
+        k = jax.random.PRNGKey(seed)
+        w = jax.random.normal(k, (4, 4))
+        return {"params": {"encoder": {"w": w}, "decoder": {"w": w + 1.0}}}
+
+    def test_lr_mults_scale_updates(self):
+        cfg = TrainStateConfig(lr=1e-3, warmup_steps=1, weight_decay=0.0,
+                               lr_mults=(("decoder", 0.25),))
+        tx = make_optimizer(cfg)
+        params = self._mlp_params()
+        state = TrainState.create(params, tx)
+        grads = jax.tree.map(jnp.ones_like, params)
+        mid = state.apply_gradients(grads, tx)     # warmup step (lr 0)
+        new = mid.apply_gradients(grads, tx)
+        d_enc = np.abs(np.asarray(
+            new.params["params"]["encoder"]["w"]
+            - mid.params["params"]["encoder"]["w"])).mean()
+        d_dec = np.abs(np.asarray(
+            new.params["params"]["decoder"]["w"]
+            - mid.params["params"]["decoder"]["w"])).mean()
+        # adam's unit-scale update times the group lr
+        np.testing.assert_allclose(d_dec / d_enc, 0.25, rtol=1e-3)
+
+    def test_extra_ema_rates_tracked(self):
+        cfg = TrainStateConfig(lr=1e-2, warmup_steps=0,
+                               extra_ema_decays=(0.5,))
+        tx = make_optimizer(cfg)
+        params = self._mlp_params()
+        state = TrainState.create(params, tx,
+                                  extra_ema_decays=cfg.extra_ema_decays)
+        assert set(state.ema_extra) == {"0.5"}
+        grads = jax.tree.map(jnp.ones_like, params)
+        s1 = state.apply_gradients(grads, tx)
+        s2 = s1.apply_gradients(grads, tx)
+        # both rates hit the (1+step)/(10+step) ramp at step 0/1; the
+        # primary (0.9999) and 0.5 copies diverge at step 1 where the ramp
+        # (2/11) exceeds 0.5's cap... verify against the closed form.
+        def ema_ref(decay):
+            e = jax.tree.map(lambda x: x, params)
+            for step, p in ((0, s1.params), (1, s2.params)):
+                d = min(decay, (1.0 + step) / (10.0 + step))
+                e = jax.tree.map(lambda a, b: a * d + b * (1 - d), e, p)
+            return e
+        np.testing.assert_allclose(
+            np.asarray(s2.ema_extra["0.5"]["params"]["encoder"]["w"]),
+            np.asarray(ema_ref(0.5)["params"]["encoder"]["w"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s2.ema_params["params"]["encoder"]["w"]),
+            np.asarray(ema_ref(0.9999)["params"]["encoder"]["w"]),
+            rtol=1e-6)
+
+    def test_load_submodule_grafts_one_subtree(self, tmp_path):
+        from gaussiananything_tpu.train.state import (load_submodule,
+                                                      save_checkpoint)
+        cfg = TrainStateConfig(lr=1e-3, warmup_steps=0)
+        tx = make_optimizer(cfg)
+        src = TrainState.create(self._mlp_params(seed=1), tx)
+        src = src.apply_gradients(
+            jax.tree.map(jnp.ones_like, src.params), tx)
+        save_checkpoint(str(tmp_path / "ck"), src)
+
+        dst = TrainState.create(self._mlp_params(seed=2), tx)
+        out = load_submodule(str(tmp_path / "ck"), dst, "encoder")
+        np.testing.assert_array_equal(
+            np.asarray(out.params["params"]["encoder"]["w"]),
+            np.asarray(src.params["params"]["encoder"]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(out.params["params"]["decoder"]["w"]),
+            np.asarray(dst.params["params"]["decoder"]["w"]))
+        # step/opt state untouched
+        assert int(out.step) == int(dst.step)
+        with pytest.raises(KeyError):
+            load_submodule(str(tmp_path / "ck"), dst, "upsampler")
+
+    def test_load_submodule_shape_mismatch_raises(self, tmp_path):
+        from gaussiananything_tpu.train.state import (load_submodule,
+                                                      save_checkpoint)
+        cfg = TrainStateConfig(lr=1e-3, warmup_steps=0)
+        tx = make_optimizer(cfg)
+        src = TrainState.create(self._mlp_params(), tx)
+        save_checkpoint(str(tmp_path / "ck"), src)
+        bad = {"params": {"encoder": {"w": jnp.zeros((2, 2))},
+                          "decoder": {"w": jnp.zeros((4, 4))}}}
+        dst = TrainState.create(bad, tx)
+        with pytest.raises(ValueError):
+            load_submodule(str(tmp_path / "ck"), dst, "encoder")
