@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from gaussiananything_tpu.models.dit2_decoder import DiT2
 from gaussiananything_tpu.models.encoder import HybridPCDEncoder
-from gaussiananything_tpu.models.layers import XYZPosEmbed
+from gaussiananything_tpu.models.layers import Mlp, XYZPosEmbed
 from gaussiananything_tpu.models.upsampler import GaussianUpsampler
 from gaussiananything_tpu.ops.gaussians import activate_gaussians
 
@@ -102,8 +102,12 @@ class PointVAE(nn.Module):
         self.encoder = HybridPCDEncoder(
             latent_num=self.latent_num, z_channels=self.z_channels,
             width=self.encoder_width, dtype=self.dtype)
-        self.quant_mlp = nn.Dense(2 * self.z_channels, dtype=self.dtype)
-        self.post_quant_mlp = nn.Dense(self.decoder_width, dtype=self.dtype)
+        # 2-layer GELU MLPs matching the reference's quant/post-quant convs
+        # (`vit/vit_triplane.py:1318-1326`: timm Mlp with hidden = in).
+        self.quant_mlp = Mlp(hidden=2 * self.z_channels,
+                             out=2 * self.z_channels, dtype=self.dtype)
+        self.post_quant_mlp = Mlp(hidden=self.z_channels,
+                                  out=self.decoder_width, dtype=self.dtype)
         self.anchor_pe = XYZPosEmbed(self.decoder_width, dtype=self.dtype)
         self.backbone = DiT2(num_tokens=self.latent_num,
                              width=self.decoder_width,

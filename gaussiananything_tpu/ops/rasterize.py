@@ -33,6 +33,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gaussiananything_tpu.ops.gaussians import unpack_gaussians
 from gaussiananything_tpu.utils.quaternions import quat_to_rotmat
@@ -76,7 +77,8 @@ class SplatProj(NamedTuple):
     opacity: jnp.ndarray   # (N,)
     rgb: jnp.ndarray       # (N, 3)
     normal_view: jnp.ndarray  # (N, 3) camera-facing view-space normal
-    radius_pix: jnp.ndarray   # (N,) conservative screen-space radius
+    bb_min: jnp.ndarray    # (N, 2) screen-space AABB of the ρ≤RHO_CUT set
+    bb_max: jnp.ndarray    # (N, 2)
     valid: jnp.ndarray     # (N,) bool — in front of camera & non-degenerate
 
 
@@ -134,53 +136,44 @@ def preprocess_splats(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     facing = jnp.sum(normal_view * pos_view, -1, keepdims=True)
     normal_view = jnp.where(facing > 0, -normal_view, normal_view)
 
-    # Conservative screen radius: 3σ disk extent projected + 2D filter radius.
-    focal_pix = img_w / (2.0 * tanfov)
-    max_s = jnp.maximum(jnp.abs(su), jnp.abs(sv))
-    radius_pix = 3.0 * max_s * focal_pix / jnp.maximum(center_z, NEAR_CULL) \
-        + jnp.sqrt(9.0 / FILTER_INV_SQUARE) + 1.0
+    # Exact screen-space AABB of the ρ ≤ RHO_CUT level set (the projective
+    # conic bound of diff-surfel-rasterization's compute_aabb, consumed at
+    # `nsr/gs_surfel.py:85`). Tangent lines x = const of the conic
+    # {(u,v): u² + v² = RHO_CUT} under x = (p·t_x)/(p·t_w) solve
+    # A x² − 2B x + C = 0 with A = t_w Q* t_wᵀ, B = t_x Q* t_wᵀ,
+    # C = t_x Q* t_xᵀ, Q* = diag(RHO_CUT, RHO_CUT, −1) (the dual conic).
+    # A centre-based 3σ·f/z radius UNDERESTIMATES tilted surfels (measured
+    # up to 6.5 px short at 512²/73k — enough to miss a neighbouring tile),
+    # which broke tiled↔oracle parity; this bound is exact.
+    qs = jnp.array([RHO_CUT, RHO_CUT, -1.0], jnp.float32)
+
+    def _axis_bounds(t_a):
+        A = jnp.sum(w_coef * w_coef * qs, -1)
+        B = jnp.sum(t_a * w_coef * qs, -1)
+        C = jnp.sum(t_a * t_a * qs, -1)
+        bounded = A < -1e-9           # ellipse (w ≠ 0 on the level set)
+        safe_A = jnp.where(bounded, A, -1.0)
+        mid = B / safe_A
+        half = jnp.sqrt(jnp.maximum(mid * mid - C / safe_A, 1e-4))
+        return mid - half, mid + half, bounded
+
+    x0, x1, bounded = _axis_bounds(t_x)
+    y0, y1, _ = _axis_bounds(t_y)
+    # Union with the screen-space low-pass disk around the projected centre
+    # (ρ2d = FILTER_INV_SQUARE·d² reaches the window cut at this radius).
+    rf = float(np.sqrt(RHO_CUT / FILTER_INV_SQUARE)) + 0.5
+    bb_min = jnp.minimum(jnp.stack([x0, y0], -1), center_pix - rf)
+    bb_max = jnp.maximum(jnp.stack([x1, y1], -1), center_pix + rf)
 
     valid = (center_z > NEAR_CULL) & (g.opacity[:, 0] > 0) \
-        & jnp.isfinite(center_pix).all(-1)
+        & jnp.isfinite(center_pix).all(-1) & bounded
 
     return SplatProj(
         t_x=t_x, t_y=t_y, t_w=w_coef, t_z=t_z,
         center_pix=center_pix, center_z=center_z,
         opacity=g.opacity[:, 0], rgb=g.rgb, normal_view=normal_view,
-        radius_pix=radius_pix, valid=valid,
+        bb_min=bb_min, bb_max=bb_max, valid=valid,
     )
-
-
-def _splat_alpha_depth(px: jnp.ndarray, py: jnp.ndarray, sp: SplatProj
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gaussian alpha and intersection depth for P pixels × K splats.
-
-    px, py: (P,) pixel coordinates. sp fields: (K, …).
-    Returns alpha (P, K), depth (P, K).
-    """
-    # Ray-plane system: (u,v,1) · (x·t_w − t_x) = 0 and same for y.
-    k = px[:, None, None] * sp.t_w[None] - sp.t_x[None]   # (P, K, 3)
-    l = py[:, None, None] * sp.t_w[None] - sp.t_y[None]
-    p = jnp.cross(k, l)                                   # (P, K, 3)
-    denom = p[..., 2]
-    safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    u = p[..., 0] / safe
-    v = p[..., 1] / safe
-    rho3d = u * u + v * v
-
-    d2 = (px[:, None] - sp.center_pix[None, :, 0]) ** 2 \
-        + (py[:, None] - sp.center_pix[None, :, 1]) ** 2
-    rho2d = FILTER_INV_SQUARE * d2
-    use3d = rho3d <= rho2d
-    rho = jnp.minimum(rho3d, rho2d)
-
-    z_int = u * sp.t_z[None, :, 0] + v * sp.t_z[None, :, 1] + sp.t_z[None, :, 2]
-    depth = jnp.where(use3d, z_int, sp.center_z[None, :])
-
-    g = jnp.exp(-0.5 * rho) * _rho_window(rho)
-    alpha = jnp.minimum(sp.opacity[None, :] * g, ALPHA_MAX)
-    keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL) & sp.valid[None, :]
-    return jnp.where(keep, alpha, 0.0), jnp.where(keep, depth, 0.0)
 
 
 def _mapped_depth(z: jnp.ndarray) -> jnp.ndarray:
@@ -199,70 +192,6 @@ class PixelState(NamedTuple):
     dist: jnp.ndarray       # (P,)
     dist_d: jnp.ndarray     # (P,) Σ w·m
     dist_d2: jnp.ndarray    # (P,) Σ w·m²
-
-
-def init_pixel_state(P: int) -> PixelState:
-    z = jnp.zeros((P,), jnp.float32)
-    return PixelState(
-        rgb=jnp.zeros((P, 3), jnp.float32), trans=jnp.ones((P,), jnp.float32),
-        alpha_acc=z, depth_exp=z, depth_med=z, normal=jnp.zeros((P, 3), jnp.float32),
-        dist=z, dist_d=z, dist_d2=z,
-    )
-
-
-def composite_chunk(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
-                    sp: SplatProj) -> PixelState:
-    """Composite a depth-sorted chunk of K splats into P pixels.
-
-    Vectorised front-to-back alpha blending: per-pixel transmittance within
-    the chunk is an exclusive cumulative product exp(cumsum(log1p(-α))); the
-    weighted accumulations are (P, K) @ (K, C) matmuls.
-    """
-    alpha, depth = _splat_alpha_depth(px, py, sp)          # (P, K)
-    log1m = jnp.log1p(-alpha)
-    cums = jnp.cumsum(log1m, axis=1)
-    t_excl = jnp.exp(cums - log1m)                         # Π_{j<i} (1-α_j)
-    # Stop compositing once transmittance dropped below T_EPS (CUDA
-    # early-exit). Pruning the weights directly is numerically equivalent
-    # to re-running the prefix scan with pruned alphas for every weight
-    # (later splats are below threshold either way); only the residual
-    # transmittance hitting the background differs, by ≤ T_EPS.
-    t_in = state.trans[:, None] * t_excl
-    below = t_in <= T_EPS
-    alpha = jnp.where(below, 0.0, alpha)
-    w = jnp.where(below, 0.0,
-                  state.trans[:, None] * alpha * t_excl)   # (P, K)
-
-    feats = jnp.concatenate([sp.rgb, sp.normal_view], -1)  # (K, 6)
-    acc = w @ feats                                        # (P, 6) — MXU
-    rgb = state.rgb + acc[:, 0:3]
-    normal = state.normal + acc[:, 3:6]
-    alpha_acc = state.alpha_acc + jnp.sum(w, axis=1)
-    depth_exp = state.depth_exp + jnp.sum(w * depth, axis=1)
-
-    # Median depth: first splat where post-composite transmittance ≤ 0.5.
-    t_after = state.trans[:, None] * jnp.exp(cums)
-    t_before = t_in
-    crossed = (t_before > 0.5) & (t_after <= 0.5)
-    depth_med = state.depth_med + jnp.sum(jnp.where(crossed, depth, 0.0), axis=1)
-
-    # Depth distortion (2DGS §4): L_i = w_i (m_i² A + D2 − 2 m_i D) with
-    # A/D/D2 the pre-i accumulations of w / w·m / w·m².
-    m = _mapped_depth(depth)
-    wm = w * m
-    wm2 = w * m * m
-    A_pre = state.alpha_acc[:, None] + jnp.cumsum(w, axis=1) - w
-    D_pre = state.dist_d[:, None] + jnp.cumsum(wm, axis=1) - wm
-    D2_pre = state.dist_d2[:, None] + jnp.cumsum(wm2, axis=1) - wm2
-    dist = state.dist + jnp.sum(w * (m * m * A_pre + D2_pre - 2 * m * D_pre), axis=1)
-
-    trans = state.trans * jnp.exp(cums[:, -1])
-    return PixelState(
-        rgb=rgb, trans=trans, alpha_acc=alpha_acc, depth_exp=depth_exp,
-        depth_med=depth_med, normal=normal,
-        dist=dist, dist_d=state.dist_d + jnp.sum(wm, axis=1),
-        dist_d2=state.dist_d2 + jnp.sum(wm2, axis=1),
-    )
 
 
 def _state_to_outputs(state: PixelState, bg_color: jnp.ndarray
@@ -289,13 +218,27 @@ def rasterize_naive(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     """Correctness-oracle renderer: every splat against every pixel.
 
     O(N·H·W) — use for tests and small scenes; `rasterize_tiled` is the
-    production path.
+    production path. No binning, tile lists, footprint clamp, or per-tile
+    cap: only the compositing semantics. Per-pixel evaluation is shared
+    with the tiled path (`composite_chunk_grouped` over the packed table)
+    so alpha/depth are BIT-identical per (pixel, splat) — an independently
+    coded expression order differs in the last ulp, which flips the
+    discrete `alpha >= ALPHA_EPS` keep decision and shows up as
+    1/255-scale speckle between otherwise-identical renders (observed at
+    512²/73k before the paths were unified).
     """
     sp = preprocess_splats(gaussians, cam_view, cam_view_proj, img_h, img_w,
                            tanfov)
     N = gaussians.shape[0]
     order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
     sp = _take_splats(sp, order)
+    packed = pack_splat_render(sp)                          # (F, N)
+    pad = (-N) % chunk
+    if pad:
+        # zero columns ⇒ opacity 0 ⇒ alpha 0: exact-1.0 transmittance
+        # factors, no contribution.
+        packed = jnp.pad(packed, ((0, 0), (0, pad)))
+    n_chunks = packed.shape[1] // chunk
 
     npix = img_h * img_w
     ys, xs = jnp.meshgrid(jnp.arange(img_h, dtype=jnp.float32),
@@ -303,24 +246,17 @@ def rasterize_naive(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     px_all = xs.reshape(-1)
     py_all = ys.reshape(-1)
 
-    pad = (-N) % chunk
-    if pad:
-        sp = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0), sp)
-        sp = sp._replace(valid=sp.valid.at[N:].set(False))
-    n_chunks = sp.t_x.shape[0] // chunk
-
     def render_block(px, py):
-        state = init_pixel_state(px.shape[0])
+        state = init_pixel_state_g(1, px.shape[0])
 
         def body(st, i):
-            spc = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk, 0), sp)
-            return composite_chunk(st, px, py, spc), None
+            d = jax.lax.dynamic_slice_in_dim(packed, i * chunk, chunk, 1)
+            return composite_chunk_grouped(
+                st, px[None], py[None], d[:, None, :]), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(n_chunks))
-        return _state_to_outputs(state, bg_color)
+        out = _state_to_outputs(state, bg_color)
+        return {k: v[0] for k, v in out.items()}            # squeeze G=1
 
     assert npix % pixel_block == 0 or npix < pixel_block
     pb = min(pixel_block, npix)
@@ -517,25 +453,31 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     big_capacity = min(big_capacity, N)
 
     order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
-    cx = jnp.take(sp.center_pix[:, 0], order)
-    cy = jnp.take(sp.center_pix[:, 1], order) - row0   # band-local rows
-    r = jnp.take(sp.radius_pix, order)
+    x0 = jnp.take(sp.bb_min[:, 0], order)
+    x1 = jnp.take(sp.bb_max[:, 0], order)
+    y0 = jnp.take(sp.bb_min[:, 1], order) - row0   # band-local rows
+    y1 = jnp.take(sp.bb_max[:, 1], order) - row0
     # Clamp the footprint so a splat's tile span NEVER exceeds 6×6 —
     # truncating the pair list instead would drop different tiles in full
-    # vs band (sharded) binning. Clamp = hard crop of giant splats' outer
-    # 3σ halo at (span_side−1)·tile/2 px. MUST be a global constant (not a
-    # function of this grid's n_tiles) so full-image and band renders cut
-    # splats identically.
+    # vs band (sharded) binning. Clamp = hard crop of giant splats' AABB
+    # at span_side·tile px per axis, anchored at the bbox centre. MUST be
+    # a global constant (not a function of this grid's n_tiles) so
+    # full-image and band renders cut splats identically.
     big_span = 36
     span_side = 6
-    r = jnp.minimum(r, (span_side - 1) * tile / 2)
+    half_cap = (span_side - 1) * tile / 2   # width ≤ 80 px ⇒ span ≤ 6 tiles
+    mx, my = 0.5 * (x0 + x1), 0.5 * (y0 + y1)
+    x0 = jnp.maximum(x0, mx - half_cap)
+    x1 = jnp.minimum(x1, mx + half_cap)
+    y0 = jnp.maximum(y0, my - half_cap)
+    y1 = jnp.minimum(y1, my + half_cap)
     valid = jnp.take(sp.valid, order)
 
-    tx0 = jnp.clip(jnp.floor((cx - r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((cx + r) / tile).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((cy - r) / tile).astype(jnp.int32), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((cy + r) / tile).astype(jnp.int32), 0, tiles_y - 1)
-    on_screen = (cx + r >= 0) & (cx - r < img_w) & (cy + r >= 0) & (cy - r < img_h)
+    tx0 = jnp.clip(jnp.floor(x0 / tile).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(y0 / tile).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, tiles_y - 1)
+    on_screen = (x1 >= 0) & (x0 < img_w) & (y1 >= 0) & (y0 < img_h)
     valid = valid & on_screen
 
     span_x = tx1 - tx0 + 1

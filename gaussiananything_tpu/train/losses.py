@@ -73,13 +73,16 @@ class _PerceptualNet(nn.Module):
 
 
 @functools.lru_cache(maxsize=2)
-def _perceptual_params(h: int, w: int, seed: int = 0):
+def _perceptual_params(seed: int = 0):
     net = _PerceptualNet()
     # ensure_compile_time_eval: this may be reached inside a jit trace (the
     # loss fn); the fixed random params must be concrete, not tracers.
+    # Conv params are spatial-size independent, so init at a tiny dummy
+    # resolution — initialising at the caller's H×W ran a full-res forward
+    # on the device mid-trace and OOMed the 512² release-scale step.
     with jax.ensure_compile_time_eval():
         params = net.init(jax.random.PRNGKey(seed),
-                          jnp.zeros((1, h, w, 3)))
+                          jnp.zeros((1, 32, 32, 3)))
     return net, params
 
 
@@ -95,8 +98,7 @@ def perceptual_loss(a: jnp.ndarray, b: jnp.ndarray,
         inner = params.get("params", params)
         if any(str(k).startswith("lins.") for k in inner):
             return lpips_vgg(a, b, params)
-    B, C, H, W = a.shape
-    net, p = _perceptual_params(H, W)
+    net, p = _perceptual_params()
     if params is not None:
         p = params
     fa = net.apply(p, jnp.moveaxis(a, 1, -1))
