@@ -3,22 +3,34 @@
 Capability parity with `RealDataset` / `RealDataset_GSO`
 (`datasets/g_buffer_objaverse.py:4570,4692`; loader dispatch
 `load_eval_data:1710`): a folder of images becomes conditioning inputs.
-The reference removes backgrounds with rembg (U²-Net, not available here);
-we use a corner-chroma-key + white-composite stand-in
-(`utils/infer_utils.py:70` remove_background/resize_foreground analog),
-with a hook to plug a learned matting model later.
+The reference removes backgrounds with rembg — a pretrained U²-Net
+(`utils/infer_utils.py:4,27`). The same architecture lives in
+`models/matting.U2Net`; pass converted weights
+(`utils/param_io.convert_u2net`, saved with `save_params_npz`) as
+`matting_params`/`--matting-npz` for reference-parity matting. Without
+weights, a corner-chroma-key + white-composite stand-in is used
+(`utils/infer_utils.py:70` remove_background/resize_foreground analog).
 """
 from __future__ import annotations
 
 import glob
 import os
-from typing import Iterator, List
+from typing import Any, Iterator, List, Optional
 
 import numpy as np
 
 
-def remove_background(img: np.ndarray, thresh: float = 0.12) -> np.ndarray:
-    """(H, W, 3) float [0,1] → white-composited foreground."""
+def remove_background(img: np.ndarray, thresh: float = 0.12,
+                      matting_params: Optional[Any] = None) -> np.ndarray:
+    """(H, W, 3) float [0,1] → white-composited foreground.
+
+    With `matting_params` (converted u2net weights): soft U²-Net alpha,
+    rembg-equivalent. Without: corner chroma-key heuristic.
+    """
+    if matting_params is not None:
+        from gaussiananything_tpu.models.matting import matting_alpha
+        a = np.asarray(matting_alpha(matting_params, img))[..., None]
+        return (img * a + (1 - a)).astype(img.dtype)
     corner = np.median(
         np.concatenate([img[:5, :5].reshape(-1, 3),
                         img[:5, -5:].reshape(-1, 3),
@@ -49,13 +61,18 @@ class RealImageDataset:
     """Folder of images → preprocessed (3, S, S) conditioning arrays."""
 
     def __init__(self, image_dir: str, img_size: int = 224,
-                 remove_bg: bool = True):
+                 remove_bg: bool = True,
+                 matting_npz: Optional[str] = None):
         exts = ("*.png", "*.jpg", "*.jpeg", "*.webp")
         self.paths: List[str] = sorted(
             p for e in exts for p in glob.glob(os.path.join(image_dir, e)))
         assert self.paths, f"no images in {image_dir}"
         self.img_size = img_size
         self.remove_bg = remove_bg
+        self.matting_params = None
+        if matting_npz:
+            from gaussiananything_tpu.utils.param_io import load_params_npz
+            self.matting_params = {"params": load_params_npz(matting_npz)}
 
     def __len__(self):
         return len(self.paths)
@@ -65,7 +82,7 @@ class RealImageDataset:
         img = np.asarray(
             Image.open(self.paths[i]).convert("RGB"), np.float32) / 255.0
         if self.remove_bg:
-            img = remove_background(img)
+            img = remove_background(img, matting_params=self.matting_params)
             img = resize_foreground(img)
         img = np.asarray(
             Image.fromarray((img * 255).astype(np.uint8)).resize(

@@ -206,3 +206,40 @@ def convert_lpips_vgg(state_dict: Dict[str, "np.ndarray"],
     inner = template["params"] if wrapped else template
     out = import_torch_state_dict(state_dict, lpips_vgg_name_map, inner)
     return {"params": out} if wrapped else out
+
+
+def u2net_name_map(torch_name: str) -> Optional[str]:
+    """xuebinqin/U-2-Net ``u2net.pth`` / ``u2netp.pth`` state dict → flax
+    path in `models/matting.U2Net` (the rembg backbone; reference
+    consumption: `utils/infer_utils.py:4,27` via `rembg.remove`).
+
+    Module names mirror the torch tree (stageN[d].rebnconvK[d]); BatchNorm
+    running statistics become the `bn_*` params applied at inference.
+    """
+    n = torch_name
+    if n.endswith(".num_batches_tracked"):
+        return None
+    parts = n.split(".")
+    if parts[0] in ("outconv",) or parts[0].startswith("side"):
+        kind = {"weight": "kernel", "bias": "bias"}[parts[1]]
+        return f"{parts[0]}/{kind}"
+    if parts[0].startswith("stage") and len(parts) == 4:
+        stage, block, layer, kind = parts
+        if layer == "conv_s1":
+            return f"{stage}/{block}/conv_s1/" + (
+                "kernel" if kind == "weight" else "bias")
+        if layer == "bn_s1":
+            table = {"weight": "bn_scale", "bias": "bn_bias",
+                     "running_mean": "bn_mean", "running_var": "bn_var"}
+            return f"{stage}/{block}/{table[kind]}"
+    raise KeyError(f"unrecognised u2net param {torch_name}")
+
+
+def convert_u2net(state_dict: Dict[str, "np.ndarray"], template: Any) -> Any:
+    """u2net(.pth) → `models/matting.U2Net` params. Accepts the bare param
+    tree or the `{"params": ...}` variables dict; returns the same
+    wrapping."""
+    wrapped = isinstance(template, dict) and set(template) == {"params"}
+    inner = template["params"] if wrapped else template
+    out = import_torch_state_dict(state_dict, u2net_name_map, inner)
+    return {"params": out} if wrapped else out
