@@ -407,6 +407,170 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
     )
 
 
+def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
+                    data: jnp.ndarray, ct: PixelState
+                    ) -> Tuple[PixelState, jnp.ndarray]:
+    """Hand-derived VJP of `composite_chunk_grouped` w.r.t. (state, data).
+
+    `ct` holds the output-state cotangents. The per-splat forward
+    quantities are recomputed here (the outer loop stores only the chunk
+    ENTRY states — see `_composite_frame_fwd`), with the fwd's exact
+    expression order, then the adjoints are applied in one fused pass.
+    Replaces `jax.vjp(composite_chunk_grouped, …)`, whose linearization
+    materialises every (G, P, K) intermediate to HBM; the analytic form
+    is what makes the backward ≈ forward-cost instead of 2.4× (the CUDA
+    `diff-surfel-rasterization` BACKWARD kernel's role,
+    `nsr/gs_surfel.py:15` consumption).
+
+    Derivative conventions match jax autodiff: `where`/comparison gates
+    route cotangents to the selected branch; min/clip ties are measure-
+    zero and ignored.
+    """
+    a0, a1, a2 = data[0][:, None, :], data[1][:, None, :], data[2][:, None, :]
+    b0, b1, b2 = data[3][:, None, :], data[4][:, None, :], data[5][:, None, :]
+    c0, c1, c2 = data[6][:, None, :], data[7][:, None, :], data[8][:, None, :]
+    tz0, tz1, tz2 = (data[9][:, None, :], data[10][:, None, :],
+                     data[11][:, None, :])
+    cx, cy = data[_PK_CX][:, None, :], data[_PK_CY][:, None, :]
+    cz, op = data[_PK_CZ][:, None, :], data[_PK_OP][:, None, :]
+
+    # ---- recompute (verbatim fwd expressions) -----------------------------
+    pxe = px[..., None]
+    pye = py[..., None]
+    p0 = pxe * a0 + pye * b0 + c0
+    p1 = pxe * a1 + pye * b1 + c1
+    p2 = pxe * a2 + pye * b2 + c2
+    safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+    inv = 1.0 / safe
+    u = p0 * inv
+    v = p1 * inv
+    rho3d = u * u + v * v
+    dx = pxe - cx
+    dy = pye - cy
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    depth = jnp.where(use3d, u * tz0 + v * tz1 + tz2, cz)
+    expw = jnp.exp(-0.5 * rho)
+    win = _rho_window(rho)
+    g = expw * win
+    og = op * g
+    alpha_raw = jnp.minimum(og, ALPHA_MAX)
+    keep = (alpha_raw >= ALPHA_EPS) & (depth > NEAR_CULL)
+    alpha = jnp.where(keep, alpha_raw, 0.0)
+    depth = jnp.where(keep, depth, 0.0)
+    t_incl = jnp.cumprod(1.0 - alpha, axis=-1)
+    t_excl = t_incl / (1.0 - alpha)
+    tau = state.trans[..., None]
+    t_in = tau * t_excl
+    below = t_in <= T_EPS
+    w = jnp.where(below, 0.0, tau * alpha * t_excl)
+    t_after = tau * t_incl
+    crossed = (t_in > 0.5) & (t_after <= 0.5)
+    m = _mapped_depth(depth)
+    wm = w * m
+    s_w = jnp.sum(w, axis=-1)
+    s_wm = jnp.sum(wm, axis=-1)
+    s_wm2 = jnp.sum(wm * m, axis=-1)
+
+    # ---- state-in cotangents ----------------------------------------------
+    ct_A = ct.alpha_acc + ct.dist * s_wm2
+    ct_Dw = ct.dist_d - 2.0 * ct.dist * s_wm
+    ct_Dw2 = ct.dist_d2 + ct.dist * s_w
+    # chunk-sum cotangents (dist cross-terms use the ENTRY accumulators)
+    ct_s_w = ct.alpha_acc + ct.dist * (state.dist_d2 + s_wm2)
+    ct_s_wm = ct.dist_d - 2.0 * ct.dist * (state.dist_d + s_wm)
+    ct_s_wm2 = ct.dist_d2 + ct.dist * (state.alpha_acc + s_w)
+
+    # ---- per-(pixel, splat) weight cotangent ------------------------------
+    feats6 = jnp.stack([data[16], data[17], data[18],
+                        data[19], data[20], data[21]], axis=-1)   # (G, K, 6)
+    ct_acc6 = jnp.concatenate([ct.rgb, ct.normal], axis=-1)       # (G, P, 6)
+    cw = jnp.einsum("gpc,gkc->gpk", ct_acc6, feats6,
+                    preferred_element_type=jnp.float32)
+    cw = cw + ct_s_w[..., None] \
+        + ct.depth_exp[..., None] * depth \
+        + ct_s_wm[..., None] * m + ct_s_wm2[..., None] * (m * m)
+    cw = jnp.where(below, 0.0, cw)
+
+    # ---- alpha / transmittance chain --------------------------------------
+    # w_j = τ α_j t_excl_j with t_excl_j = Π_{i<j}(1−α_i):
+    #   ∂w_k/∂α_k = τ t_excl_k,   ∂w_j/∂α_k = −w_j/(1−α_k) for j>k,
+    #   ∂τ'/∂α_k = −τ'/(1−α_k)  (τ' = τ·t_incl_K).
+    q = cw * w
+    incl = jnp.cumsum(q, axis=-1)
+    suffix = incl[..., -1:] - incl                                # Σ_{j>k}
+    trans_out = state.trans * t_incl[..., -1]
+    bracket = suffix + (ct.trans * trans_out)[..., None]
+    ct_alpha = cw * tau * t_excl - bracket / (1.0 - alpha)
+    ct_trans = jnp.sum(cw * alpha * t_excl, axis=-1) \
+        + ct.trans * t_incl[..., -1]
+
+    # ---- depth / mapped-depth chain ----------------------------------------
+    ct_m = ct_s_wm[..., None] * w + ct_s_wm2[..., None] * (2.0 * w * m)
+    zc = jnp.maximum(depth, ZNEAR)
+    dm_dz = jnp.where(depth >= ZNEAR,
+                      (ZFAR * ZNEAR / (ZFAR - ZNEAR)) / (zc * zc), 0.0)
+    ct_depth = ct.depth_exp[..., None] * w + ct.depth_med[..., None] * crossed \
+        + ct_m * dm_dz
+    ct_depth = jnp.where(keep, ct_depth, 0.0)
+    k3 = keep & use3d
+    ct_u = jnp.where(k3, ct_depth * tz0, 0.0)
+    ct_v = jnp.where(k3, ct_depth * tz1, 0.0)
+    ct_tz0 = jnp.sum(jnp.where(k3, ct_depth * u, 0.0), axis=1)    # (G, K)
+    ct_tz1 = jnp.sum(jnp.where(k3, ct_depth * v, 0.0), axis=1)
+    ct_tz2 = jnp.sum(jnp.where(k3, ct_depth, 0.0), axis=1)
+    ct_cz = jnp.sum(jnp.where(keep & ~use3d, ct_depth, 0.0), axis=1)
+
+    # ---- opacity / gaussian-weight chain -----------------------------------
+    ct_og = jnp.where(keep & (og < ALPHA_MAX), ct_alpha, 0.0)
+    ct_op = jnp.sum(ct_og * g, axis=1)
+    ct_g = ct_og * op
+    ramp = RHO_CUT - rho
+    dwin = jnp.where((ramp > 0.0) & (ramp < RHO_RAMP), -1.0 / RHO_RAMP, 0.0)
+    ct_rho = ct_g * (expw * dwin - 0.5 * expw * win)
+    ct_rho3d = jnp.where(use3d, ct_rho, 0.0)
+    ct_rho2d = jnp.where(use3d, 0.0, ct_rho)
+    ct_u = ct_u + 2.0 * u * ct_rho3d
+    ct_v = ct_v + 2.0 * v * ct_rho3d
+    ct_dx = ct_rho2d * FILTER_INV_SQUARE * 2.0 * dx
+    ct_dy = ct_rho2d * FILTER_INV_SQUARE * 2.0 * dy
+    ct_cx = -jnp.sum(ct_dx, axis=1)
+    ct_cy = -jnp.sum(ct_dy, axis=1)
+
+    # ---- projective ray-plane chain ----------------------------------------
+    ct_p0 = ct_u * inv
+    ct_p1 = ct_v * inv
+    ct_inv = ct_u * p0 + ct_v * p1
+    ct_safe = -(inv * inv) * ct_inv
+    ct_p2 = jnp.where(jnp.abs(p2) < 1e-9, 0.0, ct_safe)
+
+    def _abc(ct_p):
+        return (jnp.sum(pxe * ct_p, axis=1), jnp.sum(pye * ct_p, axis=1),
+                jnp.sum(ct_p, axis=1))
+
+    ca0, cb0, cc0 = _abc(ct_p0)
+    ca1, cb1, cc1 = _abc(ct_p1)
+    ca2, cb2, cc2 = _abc(ct_p2)
+
+    ct_feats = jnp.einsum("gpk,gpc->gkc", w, ct_acc6,
+                          preferred_element_type=jnp.float32)     # (G, K, 6)
+
+    ct_data = jnp.stack([
+        ca0, ca1, ca2, cb0, cb1, cb2, cc0, cc1, cc2,
+        ct_tz0, ct_tz1, ct_tz2, ct_cx, ct_cy, ct_cz, ct_op,
+        ct_feats[..., 0], ct_feats[..., 1], ct_feats[..., 2],
+        ct_feats[..., 3], ct_feats[..., 4], ct_feats[..., 5],
+    ], axis=0)                                                    # (22, G, K)
+
+    ct_state = PixelState(
+        rgb=ct.rgb, trans=ct_trans, alpha_acc=ct_A,
+        depth_exp=ct.depth_exp, depth_med=ct.depth_med, normal=ct.normal,
+        dist=ct.dist, dist_d=ct_Dw, dist_d2=ct_Dw2,
+    )
+    return ct_state, ct_data
+
+
 # ---------------------------------------------------------------------------
 # Tiled production path: XLA sort-based binning + capped per-tile lists.
 # ---------------------------------------------------------------------------
@@ -686,10 +850,7 @@ def _composite_frame_bwd(static, res, ct):
                 ids = slice_ids_bwd(st_g, ct_g, c)
                 d = jnp.take(packed, ids.reshape(-1), axis=1)
                 d = d.reshape(PACKED_F, G, chunk)
-                _, vjp = jax.vjp(
-                    lambda s_, d_: composite_chunk_grouped(s_, px, py, d_),
-                    s_in, d)
-                ct_s_in, ct_d = vjp(ct_st)
+                ct_s_in, ct_d = _chunk_backward(s_in, px, py, d, ct_st)
                 ctp = ctp.at[:, ids.reshape(-1)].add(
                     ct_d.reshape(PACKED_F, G * chunk))
                 return ct_s_in, ctp
