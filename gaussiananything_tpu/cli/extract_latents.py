@@ -41,14 +41,7 @@ def main(argv=None):
                                                   restore_checkpoint)
 
     cfg = preset(args.preset)
-    model = PointVAE(
-        latent_num=cfg.vae.latent_num, z_channels=cfg.vae.z_channels,
-        encoder_width=cfg.vae.encoder_width,
-        decoder_width=cfg.vae.decoder_width,
-        decoder_depth=cfg.vae.decoder_depth,
-        decoder_heads=cfg.vae.decoder_heads,
-        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
-        dtype=compute_dtype(cfg.vae.compute_dtype))
+    model = PointVAE.from_config(cfg.vae)
 
     rng = jax.random.PRNGKey(0)
     b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,

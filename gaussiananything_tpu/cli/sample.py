@@ -12,6 +12,7 @@ Parity with `scripts/vit_triplane_sit_sample.py` driving
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 
@@ -140,14 +141,8 @@ def main(argv=None):
             kl = sampler2(dit2_params, cond_params, cond_img, key,
                           xyz=jnp.asarray(xyz)[None])
 
-            vae = PointVAE(
-                latent_num=K, z_channels=cfg.vae.z_channels,
-                encoder_width=cfg.vae.encoder_width,
-                decoder_width=cfg.vae.decoder_width,
-                decoder_depth=cfg.vae.decoder_depth,
-                decoder_heads=cfg.vae.decoder_heads,
-                up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
-                dtype=compute_dtype(cfg.vae.compute_dtype))
+            vae = PointVAE.from_config(
+                dataclasses.replace(cfg.vae, latent_num=K))
             from gaussiananything_tpu.data.synthetic import make_batch
             b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
                             n_views_sup=1, res=cfg.data.resolution,

@@ -70,15 +70,7 @@ def main(argv=None):
     with open(os.path.join(logdir, "args.json"), "w") as f:
         f.write(cfg.to_json())
 
-    model = PointVAE(
-        latent_num=cfg.vae.latent_num, z_channels=cfg.vae.z_channels,
-        encoder_width=cfg.vae.encoder_width,
-        decoder_width=cfg.vae.decoder_width,
-        decoder_depth=cfg.vae.decoder_depth,
-        decoder_heads=cfg.vae.decoder_heads,
-        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths,
-        skip_weight=cfg.vae.skip_weight,
-        dtype=compute_dtype(cfg.vae.compute_dtype))
+    model = PointVAE.from_config(cfg.vae)
 
     def data_iter(seed0: int):
         s = seed0

@@ -26,6 +26,9 @@ class VAEModelConfig:
     up_factors: Tuple[int, ...] = (8, 4, 3)
     up_depths: Tuple[int, ...] = (2, 1, 1)
     skip_weight: float = 0.1
+    # weight-compatible release mode (import official checkpoints); see
+    # PointVAE.release_parity
+    release_parity: bool = False
     # "bfloat16" = mixed precision: bf16 matmul/activation compute, fp32
     # params + norms + adaLN + latent stats + gaussian activations (the
     # reference trains BF16 AMP, `nsr/train_util.py:119-127`).
@@ -145,6 +148,10 @@ def preset(name: str) -> RunConfig:
         pass
     elif name == "vae":                 # config 3: full VAE
         pass
+    elif name == "vae-release":         # weight-compat import of the
+        # official `ckpts/vae/model_rec1965000.pt` (vae3d-adv-512.sh config:
+        # tx_dim 256 encoder, DiT2-B/2 decoder, f=(8,4,3) cascade)
+        c.vae = VAEModelConfig(encoder_width=256, release_parity=True)
     elif name == "vae-small":           # CI-scale VAE
         c.vae = VAEModelConfig(latent_num=192, z_channels=8,
                                encoder_width=192, decoder_width=384,

@@ -83,6 +83,13 @@ class HybridPCDEncoder(nn.Module):
     srt_depth: int = 3
     heads: int = 8
     downsample: int = 8
+    # Weight-compatible release mode (`HybridEncoderPCDStructuredLatentSNoPCD`,
+    # `nsr/srt/encoder.py:648-653`, the `mv-sd-dit-srt-pcd-structured-nopcd`
+    # dino_version of vae3d-adv-512.sh): faithful SD trunk, ONE shared
+    # xyz-PE module for tokens and pcd, plain (non-residual) aggregation CA
+    # over image tokens only (ca_no_pcd=True), exact-GELU SRT MLPs.
+    # Requires width == conv trunk output channels (256).
+    release_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,35 +98,65 @@ class HybridPCDEncoder(nn.Module):
         B, V, C, H, W = images.shape
         assert C == 15, f"expected 15-channel rgb+normal+plucker+xyz, got {C}"
         x = jnp.moveaxis(images, 2, -1)  # NHWC
-        feat = MVConvEncoder(ch=self.conv_ch, out_ch=self.conv_out,
-                             heads=self.heads, dtype=self.dtype)(x)
-        _, _, hh, ww, _ = feat.shape
-        tokens = feat.reshape(B, V * hh * ww, self.conv_out)
-        tokens = nn.Dense(self.width, dtype=self.dtype)(tokens)
+        if self.release_parity:
+            from gaussiananything_tpu.models.sd_encoder import (SDEncoderTrunk,
+                                                                exact_gelu)
+            assert self.width == self.conv_out, \
+                "parity mode runs at the conv trunk width (256)"
+            feat = SDEncoderTrunk(ch=self.conv_ch, dtype=self.dtype,
+                                  name="sd_trunk")(x)
+            _, _, hh, ww, _ = feat.shape
+            tokens = feat.reshape(B, V * hh * ww, self.width)
+        else:
+            feat = MVConvEncoder(ch=self.conv_ch, out_ch=self.conv_out,
+                                 heads=self.heads, dtype=self.dtype)(x)
+            _, _, hh, ww, _ = feat.shape
+            tokens = feat.reshape(B, V * hh * ww, self.conv_out)
+            tokens = nn.Dense(self.width, dtype=self.dtype)(tokens)
 
         # token-centre xyz from the input xyz channels (stride f, offset f/2)
         f = self.downsample
         tok_xyz = images[:, :, -3:, f // 2::f, f // 2::f]        # (B,V,3,hh,ww)
         tok_xyz = jnp.moveaxis(tok_xyz, 2, -1).reshape(B, V * hh * ww, 3)
-        tokens = tokens + XYZPosEmbed(self.width, dtype=self.dtype)(tok_xyz)
 
         anchors, _ = sample_farthest_points(pcd, self.latent_num)
-        # one PE table for the pcd; queries are its values at the FPS
-        # anchors (reference: query_pcd_h = masked_gather(pcd_h, fps_idx))
-        anchor_embed = XYZPosEmbed(self.width, dtype=self.dtype,
-                                   name="anchor_embed")
-        pcd_h = anchor_embed(pcd)
-        q = anchor_embed(anchors)
-        # aggregate from BOTH the image tokens and the PE'd point cloud
-        # (`nsr/srt/encoder.py:594-597` agg_ca(query_pcd_h, cat([h, pcd_h]));
-        # ca_no_pcd defaults False on the release path)
-        kv = jnp.concatenate([tokens, pcd_h], axis=1)
-        q = CrossAttentionBlock(self.heads, qk_norm=True, dtype=self.dtype,
-                                name="agg_ca")(q, kv)
-        for i in range(self.srt_depth):
-            q = TransformerBlock(self.heads, dtype=self.dtype,
-                                 name=f"srt_{i}")(q)
-        q = nn.LayerNorm(dtype=jnp.float32)(q)
+        if self.release_parity:
+            # ONE xyz_pos_embed for both token PE and pcd-query PE
+            # (`nsr/srt/encoder.py:483,584-590`: the same module embeds
+            # token_xyz and the fps-gathered pcd points).
+            pe = XYZPosEmbed(self.width, dtype=self.dtype,
+                             name="xyz_pos_embed")
+            tokens = tokens + pe(tok_xyz)
+            q = pe(anchors)          # == masked_gather(pe(pcd), fps_idx)
+            # plain attention (no residual/MLP wrapper): the reference's
+            # agg_ca is a bare MemoryEfficientCrossAttention whose output
+            # REPLACES the query (`nsr/srt/encoder.py:475-479,594`);
+            # SNoPCD attends over image tokens only (ca_no_pcd=True).
+            q = Attention(self.heads, dim_head=64, qk_norm=True,
+                          qkv_bias=False, dtype=self.dtype,
+                          name="agg_ca")(q, tokens)
+            for i in range(self.srt_depth):
+                q = TransformerBlock(self.heads, qk_norm=True,
+                                     act=exact_gelu, dtype=self.dtype,
+                                     name=f"srt_{i}")(q)
+        else:
+            tokens = tokens + XYZPosEmbed(self.width, dtype=self.dtype)(
+                tok_xyz)
+            # one PE table for the pcd; queries are its values at the FPS
+            # anchors (reference: query_pcd_h = masked_gather(pcd_h, fps_idx))
+            anchor_embed = XYZPosEmbed(self.width, dtype=self.dtype,
+                                       name="anchor_embed")
+            pcd_h = anchor_embed(pcd)
+            q = anchor_embed(anchors)
+            # aggregate from BOTH the image tokens and the PE'd point cloud
+            # (`nsr/srt/encoder.py:594-597` agg_ca(query, cat([h, pcd_h])))
+            kv = jnp.concatenate([tokens, pcd_h], axis=1)
+            q = CrossAttentionBlock(self.heads, qk_norm=True,
+                                    dtype=self.dtype, name="agg_ca")(q, kv)
+            for i in range(self.srt_depth):
+                q = TransformerBlock(self.heads, dtype=self.dtype,
+                                     name=f"srt_{i}")(q)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(q)
         latent = Mlp(self.width, out=2 * self.z_channels, dtype=self.dtype,
                      name="mlp_out")(q)
         return latent, anchors

@@ -48,6 +48,7 @@ class Attention(nn.Module):
     heads: int
     dim_head: Optional[int] = None
     qk_norm: bool = False
+    qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,17 +57,21 @@ class Attention(nn.Module):
         d = x.shape[-1]
         dh = self.dim_head or d // self.heads
         inner = dh * self.heads
-        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, dtype=self.dtype, name="to_v")(context)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_k")(context)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_v")(context)
 
         def split(t):
             return t.reshape(t.shape[:-1] + (self.heads, dh))
 
         q, k, v = split(q), split(k), split(v)
         if self.qk_norm:
-            q = nn.RMSNorm(dtype=jnp.float32, name="q_norm")(q)
-            k = nn.RMSNorm(dtype=jnp.float32, name="k_norm")(k)
+            # eps 1e-5 parity with the reference RMSNorm (`dit/norm.py:12`)
+            q = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32, name="q_norm")(q)
+            k = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32, name="k_norm")(k)
         o = dot_attention(q.astype(self.dtype), k.astype(self.dtype),
                           v.astype(self.dtype))
         o = o.reshape(o.shape[:-2] + (inner,))
@@ -79,15 +84,17 @@ class TransformerBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     qk_norm: bool = False
+    act: Callable = nn.gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        # eps 1e-5 = torch nn.LayerNorm default (PreNorm, `nsr/srt/layers.py`)
         d = x.shape[-1]
         x = x + Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype)(
-            nn.LayerNorm(dtype=jnp.float32)(x))
-        x = x + Mlp(int(d * self.mlp_ratio), dtype=self.dtype)(
-            nn.LayerNorm(dtype=jnp.float32)(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x))
+        x = x + Mlp(int(d * self.mlp_ratio), act=self.act, dtype=self.dtype)(
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x))
         return x
 
 
@@ -105,10 +112,10 @@ class CrossAttentionBlock(nn.Module):
         d = q_tokens.shape[-1]
         q_tokens = q_tokens + Attention(
             self.heads, qk_norm=self.qk_norm, dtype=self.dtype)(
-                nn.LayerNorm(dtype=jnp.float32)(q_tokens),
-                nn.LayerNorm(dtype=jnp.float32)(kv_tokens))
+                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(q_tokens),
+                nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(kv_tokens))
         q_tokens = q_tokens + Mlp(int(d * self.mlp_ratio), dtype=self.dtype)(
-            nn.LayerNorm(dtype=jnp.float32)(q_tokens))
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(q_tokens))
         return q_tokens
 
 

@@ -27,6 +27,12 @@ class GaussianUpsampler(nn.Module):
     factor: int                      # children per parent
     depth: int = 1
     heads: int = 8
+    # Weight-compatible release mode: no xyz-PE on the queries (the
+    # reference's queries are the bare `latent_embedding` table,
+    # `vit/vit_triplane.py:1001-1016`), SRT_TX semantics for the group
+    # transformer (heads = D/64 = 12, qk-norm, exact-GELU MLP,
+    # `vit/vit_triplane.py:824-830` + `nsr/srt/layers.py:146`).
+    release_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,17 +51,27 @@ class GaussianUpsampler(nn.Module):
                              nn.initializers.normal(stddev=0.02),
                              (1, 1, f, D))
         q = jnp.broadcast_to(queries, (B, N, f, D)).astype(self.dtype)
+        if self.release_parity:
+            from gaussiananything_tpu.models.sd_encoder import exact_gelu
+            heads, qk_norm, act = D // 64, True, exact_gelu
+        else:
+            # group queries carry the parent's xyz (extension; not in ref)
+            q = q + XYZPosEmbed(D, dtype=self.dtype)(
+                parent_xyz)[:, :, None, :]
+            heads, qk_norm, act = self.heads, False, nn.gelu
         # group sequence: [anchor_feat, f queries] — self-attn within group
-        q = q + XYZPosEmbed(D, dtype=self.dtype)(parent_xyz)[:, :, None, :]
         grp = jnp.concatenate([feat[:, :, None, :], q], axis=2)  # (B,N,f+1,D)
         grp = grp.reshape(B * N, f + 1, D)
         for i in range(self.depth):
-            grp = TransformerBlock(self.heads, dtype=self.dtype,
-                                   name=f"tx_{i}")(grp)
+            grp = TransformerBlock(heads, qk_norm=qk_norm, act=act,
+                                   dtype=self.dtype, name=f"tx_{i}")(grp)
         child_feat = grp[:, 1:, :].reshape(B, N * f, D)
 
-        h = nn.LayerNorm(dtype=jnp.float32)(child_feat)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(child_feat)
         residual = zero_init_dense(13, dtype=self.dtype, name="res_head")(h)
         child_raw = jnp.repeat(raw_gaussians, f, axis=1) + residual
-        child_anchor = jnp.repeat(parent_xyz, f, axis=1)
-        return child_feat, child_raw, child_anchor
+        # residual is returned so the caller can form xyz offsets from the
+        # RESIDUAL alone — the reference's offsets = offset_act(residual[:3])
+        # + repeated parent pos (`vit/vit_triplane.py:1044-1049`), while the
+        # opacity/scale/rot/rgb channels activate from the SUMMED child_raw.
+        return child_feat, child_raw, residual

@@ -28,7 +28,8 @@ from gaussiananything_tpu.models.dit2_decoder import DiT2
 from gaussiananything_tpu.models.encoder import HybridPCDEncoder
 from gaussiananything_tpu.models.layers import Mlp, XYZPosEmbed
 from gaussiananything_tpu.models.upsampler import GaussianUpsampler
-from gaussiananything_tpu.ops.gaussians import activate_gaussians
+from gaussiananything_tpu.ops.gaussians import (activate_gaussians,
+                                                activate_gaussians_at)
 
 
 class DiagonalGaussian(NamedTuple):
@@ -96,26 +97,41 @@ class PointVAE(nn.Module):
     up_factors: Sequence[int] = (8, 4, 3)
     up_depths: Sequence[int] = (2, 1, 1)
     skip_weight: float = 0.1
+    # Weight-compatible release mode for importing the official checkpoint
+    # (`ckpts/vae/model_rec1965000.pt`) via
+    # `utils/param_io.convert_gaussiananything_vae`: parity encoder/DiT2/
+    # upsamplers, no anchor-PE injection into the decoder conditioning
+    # (the reference conditions ONLY on post_quant(z); anchor xyz enters
+    # through the offset skip, `vit/vit_triplane.py:1390-1400`), and
+    # unscaled upsample offsets (no skip_weight above the base level,
+    # `vit/vit_triplane.py:1044-1049`).
+    release_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = HybridPCDEncoder(
             latent_num=self.latent_num, z_channels=self.z_channels,
-            width=self.encoder_width, dtype=self.dtype)
+            width=self.encoder_width, release_parity=self.release_parity,
+            dtype=self.dtype)
         # 2-layer GELU MLPs matching the reference's quant/post-quant convs
         # (`vit/vit_triplane.py:1318-1326`: timm Mlp with hidden = in).
         self.quant_mlp = Mlp(hidden=2 * self.z_channels,
                              out=2 * self.z_channels, dtype=self.dtype)
         self.post_quant_mlp = Mlp(hidden=self.z_channels,
                                   out=self.decoder_width, dtype=self.dtype)
-        self.anchor_pe = XYZPosEmbed(self.decoder_width, dtype=self.dtype)
+        if not self.release_parity:
+            self.anchor_pe = XYZPosEmbed(self.decoder_width, dtype=self.dtype)
         self.backbone = DiT2(num_tokens=self.latent_num,
                              width=self.decoder_width,
                              depth=self.decoder_depth,
-                             heads=self.decoder_heads, dtype=self.dtype)
+                             heads=self.decoder_heads,
+                             release_parity=self.release_parity,
+                             dtype=self.dtype)
         self.base_head = SurfelHead(dtype=self.dtype)
         self.upsamplers = [
-            GaussianUpsampler(factor=f, depth=d, dtype=self.dtype)
+            GaussianUpsampler(factor=f, depth=d,
+                              release_parity=self.release_parity,
+                              dtype=self.dtype)
             for f, d in zip(self.up_factors, self.up_depths)
         ]
 
@@ -135,19 +151,36 @@ class PointVAE(nn.Module):
         """z (B, K, z_channels), anchors (B, K, 3) →
         list of 4 activated gaussian LoDs (B, K·∏f, 13)."""
         c = self.post_quant_mlp(z)
-        # anchor geometry must reach the decoder: latent tokens are the only
-        # conditioning, so fold anchor xyz in via Fourier features.
-        c = c + self.anchor_pe(anchors)
+        if not self.release_parity:
+            # anchor geometry must reach the decoder: latent tokens are the
+            # only conditioning, so fold anchor xyz in via Fourier features
+            # (extension; the reference relies on the offset skip alone).
+            c = c + self.anchor_pe(anchors)
         feat = self.backbone(c)                        # (B, K, width)
 
         raw = self.base_head(feat)                     # (B, K, 13)
-        lods = [activate_gaussians(raw, anchors, self.skip_weight)]
+        if self.release_parity:
+            # reference `_get_base_gaussians` applies no pos clip
+            # (`vit/vit_triplane.py:1388-1400`)
+            pos0 = anchors.astype(jnp.float32) + jnp.tanh(
+                raw[..., 0:3].astype(jnp.float32)) * (0.45 * 0.5
+                                                      * self.skip_weight)
+            lods = [activate_gaussians_at(pos0, raw)]
+        else:
+            lods = [activate_gaussians(raw, anchors, self.skip_weight)]
         parent_xyz = lods[0][..., 0:3]
         for up in self.upsamplers:
-            feat, raw, _ = up(feat, raw, parent_xyz)
-            act = activate_gaussians(raw, jnp.repeat(parent_xyz,
-                                                     up.factor, axis=1),
-                                     self.skip_weight)
+            feat, raw, residual = up(feat, raw, parent_xyz)
+            rep_parent = jnp.repeat(parent_xyz, up.factor, axis=1)
+            if self.release_parity:
+                # reference: child pos = tanh(RESIDUAL[:3])·0.225 + parent
+                # (no skip scaling, no clip; other channels from the summed
+                # child raw — `vit/vit_triplane.py:1040-1058`)
+                pos = rep_parent + jnp.tanh(
+                    residual[..., 0:3].astype(jnp.float32)) * (0.45 * 0.5)
+                act = activate_gaussians_at(pos, raw)
+            else:
+                act = activate_gaussians(raw, rep_parent, self.skip_weight)
             lods.append(act)
             parent_xyz = act[..., 0:3]
         return lods
@@ -166,6 +199,23 @@ class PointVAE(nn.Module):
             "anchors": anchors,
             "z": z,
         }
+
+    @classmethod
+    def from_config(cls, vae_cfg, dtype=None) -> "PointVAE":
+        """Build from a `config.VAEModelConfig` (single source of truth for
+        CLI/tools call sites)."""
+        from gaussiananything_tpu.config import compute_dtype
+        return cls(
+            latent_num=vae_cfg.latent_num, z_channels=vae_cfg.z_channels,
+            encoder_width=vae_cfg.encoder_width,
+            decoder_width=vae_cfg.decoder_width,
+            decoder_depth=vae_cfg.decoder_depth,
+            decoder_heads=vae_cfg.decoder_heads,
+            up_factors=tuple(vae_cfg.up_factors),
+            up_depths=tuple(vae_cfg.up_depths),
+            skip_weight=vae_cfg.skip_weight,
+            release_parity=getattr(vae_cfg, "release_parity", False),
+            dtype=dtype or compute_dtype(vae_cfg.compute_dtype))
 
     # Diffusion-facing latent: (kl_z ‖ anchors/scale) per token.
     def latent_for_diffusion(self, images, pcd, rng,

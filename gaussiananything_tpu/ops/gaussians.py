@@ -82,6 +82,22 @@ def activate_gaussians(raw: jnp.ndarray, anchor_xyz: jnp.ndarray,
     return jnp.concatenate([xyz, opacity, scale, rot, rgb], axis=-1)
 
 
+def activate_gaussians_at(pos: jnp.ndarray, raw: jnp.ndarray) -> jnp.ndarray:
+    """Activate opacity/scale/rot/rgb from `raw` with the POSITION given
+    directly (the reference's `_gaussian_pred_activations(pos=..., x=...)`,
+    `vit/vit_triplane.py:1425-1436`: upsampled positions are formed from the
+    residual pre-activation upstream, not from the summed child raw)."""
+    raw = raw.astype(jnp.float32)
+    opacity = jax.nn.sigmoid(raw[..., 3:4])
+    scale = jax.nn.softplus(raw[..., 4:6]) * SCALE_GAIN
+    rot = raw[..., 6:10]
+    rot = rot * jax.lax.rsqrt(jnp.sum(rot * rot, axis=-1, keepdims=True)
+                              + 1e-16)
+    rgb = 0.5 * jnp.tanh(raw[..., 10:13]) + 0.5
+    return jnp.concatenate([pos.astype(jnp.float32), opacity, scale, rot,
+                            rgb], axis=-1)
+
+
 def inverse_sigmoid(x, eps: float = 1e-6):
     x = jnp.clip(x, eps, 1 - eps)
     return jnp.log(x) - jnp.log1p(-x)

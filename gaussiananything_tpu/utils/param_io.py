@@ -235,6 +235,273 @@ def u2net_name_map(torch_name: str) -> Optional[str]:
     raise KeyError(f"unrecognised u2net param {torch_name}")
 
 
+def _norm_fused_mlp(sd: Dict[str, "np.ndarray"], prefix: str
+                    ) -> Dict[str, "np.ndarray"]:
+    """Normalise one MLP's keys under `prefix.` to fc1/fc2 (timm layout).
+
+    Accepts timm (`fc1/fc2`) and xformers FusedMLP layouts. xformers'
+    `FusedMLP.mlp` is a Sequential whose Linears may carry their own bias
+    (`mlp.{i}.bias`) or delegate it to the following FusedDropoutBias
+    (`mlp.{i+1}.bias`); both are matched by shape against the Linear's
+    out-features.
+    """
+    keys = [k for k in sd if k.startswith(prefix + ".")]
+    if any(k.endswith("fc1.weight") for k in keys):
+        return {k: sd[k] for k in keys}           # already timm layout
+    ws = sorted((k for k in keys if sd[k].ndim == 2),
+                key=lambda k: int(k.rsplit(".", 2)[-2]))
+    bs = [k for k in keys if sd[k].ndim == 1]
+    assert len(ws) == 2, f"{prefix}: expected 2 Linear weights, got {ws}"
+    out = {}
+    for fc, wk in zip(("fc1", "fc2"), ws):
+        w = sd[wk]
+        out[f"{prefix}.{fc}.weight"] = w
+        cand = [bk for bk in bs if sd[bk].shape == (w.shape[0],)]
+        # take the positionally-nearest bias (handles square MLPs where
+        # both Linears have equal out-features)
+        widx = int(wk.rsplit(".", 2)[-2])
+        cand.sort(key=lambda bk: abs(int(bk.rsplit(".", 2)[-2]) - widx))
+        if cand:
+            out[f"{prefix}.{fc}.bias"] = sd[cand[0]]
+            bs.remove(cand[0])
+    return out
+
+
+def _split_qkv(w: "np.ndarray", b: Optional["np.ndarray"]):
+    """torch packed qkv Linear [3D, D](+[3D]) → three flax (D, D) kernels
+    (+ (D,) biases)."""
+    q, k, v = np.split(np.asarray(w), 3, axis=0)
+    if b is None:
+        return (q.T, k.T, v.T), None
+    qb, kb, vb = np.split(np.asarray(b), 3, axis=0)
+    return (q.T, k.T, v.T), (qb, kb, vb)
+
+
+def _srt_tx_entries(sd, tprefix: str, fprefix: str, n_layers: int):
+    """`nsr/srt/layers.py:146` Transformer (PreNorm MemEffAttention +
+    PreNorm FusedMLP) under torch `tprefix.layers.{i}` → flax-layout arrays
+    for our `TransformerBlock` named `{fprefix}_{i}` (or `{fprefix}{i}`)."""
+    out = {}
+    for i in range(n_layers):
+        t = f"{tprefix}.layers.{i}"
+        f = fprefix.format(i=i)
+        out[f"{f}/LayerNorm_0/scale"] = sd[f"{t}.0.norm.weight"]
+        out[f"{f}/LayerNorm_0/bias"] = sd[f"{t}.0.norm.bias"]
+        (qw, kw, vw), qkvb = _split_qkv(sd[f"{t}.0.fn.qkv.weight"],
+                                        sd.get(f"{t}.0.fn.qkv.bias"))
+        a = f"{f}/Attention_0"
+        out[f"{a}/to_q/kernel"], out[f"{a}/to_k/kernel"], \
+            out[f"{a}/to_v/kernel"] = qw, kw, vw
+        if qkvb is not None:
+            out[f"{a}/to_q/bias"], out[f"{a}/to_k/bias"], \
+                out[f"{a}/to_v/bias"] = qkvb
+        out[f"{a}/q_norm/scale"] = sd[f"{t}.0.fn.q_norm.weight"]
+        out[f"{a}/k_norm/scale"] = sd[f"{t}.0.fn.k_norm.weight"]
+        out[f"{a}/to_out/kernel"] = np.asarray(
+            sd[f"{t}.0.fn.proj.weight"]).T
+        out[f"{a}/to_out/bias"] = sd[f"{t}.0.fn.proj.bias"]
+        out[f"{f}/LayerNorm_1/scale"] = sd[f"{t}.1.norm.weight"]
+        out[f"{f}/LayerNorm_1/bias"] = sd[f"{t}.1.norm.bias"]
+        mlp = _norm_fused_mlp(sd, f"{t}.1.fn")
+        out[f"{f}/Mlp_0/Dense_0/kernel"] = np.asarray(
+            mlp[f"{t}.1.fn.fc1.weight"]).T
+        out[f"{f}/Mlp_0/Dense_0/bias"] = mlp[f"{t}.1.fn.fc1.bias"]
+        out[f"{f}/Mlp_0/Dense_1/kernel"] = np.asarray(
+            mlp[f"{t}.1.fn.fc2.weight"]).T
+        out[f"{f}/Mlp_0/Dense_1/bias"] = mlp[f"{t}.1.fn.fc2.bias"]
+    return out
+
+
+def _timm_mlp_entries(sd, tprefix: str, fprefix: str):
+    """timm `Mlp` (fc1/fc2) → our `Mlp` (Dense_0/Dense_1)."""
+    return {
+        f"{fprefix}/Dense_0/kernel": np.asarray(
+            sd[f"{tprefix}.fc1.weight"]).T,
+        f"{fprefix}/Dense_0/bias": sd[f"{tprefix}.fc1.bias"],
+        f"{fprefix}/Dense_1/kernel": np.asarray(
+            sd[f"{tprefix}.fc2.weight"]).T,
+        f"{fprefix}/Dense_1/bias": sd[f"{tprefix}.fc2.bias"],
+    }
+
+
+def _resnet_block_entries(sd, tprefix: str, fprefix: str):
+    out = {}
+    for name in ("norm1", "norm2"):
+        out[f"{fprefix}/{name}/GroupNorm_0/scale"] = sd[f"{tprefix}.{name}.weight"]
+        out[f"{fprefix}/{name}/GroupNorm_0/bias"] = sd[f"{tprefix}.{name}.bias"]
+    for name in ("conv1", "conv2", "nin_shortcut"):
+        wk = f"{tprefix}.{name}.weight"
+        if wk not in sd:
+            continue
+        out[f"{fprefix}/{name}/kernel"] = np.asarray(
+            sd[wk]).transpose(2, 3, 1, 0)
+        out[f"{fprefix}/{name}/bias"] = sd[f"{tprefix}.{name}.bias"]
+    return out
+
+
+def _meca_entries(sd, tprefix: str, fprefix: str, qk_norm: bool):
+    """ldm `MemoryEfficientCrossAttention` (bias-less to_q/k/v, to_out.0,
+    optional head-dim RMS q/k norms) → our `Attention`."""
+    out = {}
+    for name in ("to_q", "to_k", "to_v"):
+        out[f"{fprefix}/{name}/kernel"] = np.asarray(
+            sd[f"{tprefix}.{name}.weight"]).T
+    out[f"{fprefix}/to_out/kernel"] = np.asarray(
+        sd[f"{tprefix}.to_out.0.weight"]).T
+    out[f"{fprefix}/to_out/bias"] = sd[f"{tprefix}.to_out.0.bias"]
+    if qk_norm:
+        out[f"{fprefix}/q_norm/scale"] = sd[f"{tprefix}.q_norm.weight"]
+        out[f"{fprefix}/k_norm/scale"] = sd[f"{tprefix}.k_norm.weight"]
+    return out
+
+
+def convert_gaussiananything_vae(state_dict: Dict[str, "np.ndarray"],
+                                 template: Any) -> Any:
+    """Official GaussianAnything VAE checkpoint
+    (`ckpts/vae/model_rec1965000.pt`, the `AE` module's state dict:
+    `encoder.*` = HybridEncoderPCDStructuredLatentSNoPCD, `decoder.*` =
+    pcd_structured_latent_space_vae_decoder_cascaded) → params for
+    `models/vae.PointVAE` built with `release_parity=True`
+    (config preset "vae-release").
+
+    `template`: the `{"params": ...}` variables dict (or bare tree) from
+    `PointVAE.init` — depths/widths are read from it, so the converter also
+    serves scaled-down test configs.
+    """
+    wrapped = isinstance(template, dict) and set(template) == {"params"}
+    inner = template["params"] if wrapped else template
+    t_flat = flatten_dict(inner, sep="/")
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict[str, "np.ndarray"] = {}
+
+    # ---------------------------------------------------------- encoder
+    tr = "encoder/sd_trunk"
+    out[f"{tr}/conv_in/kernel"] = sd["encoder.conv_in.weight"].transpose(
+        2, 3, 1, 0)
+    out[f"{tr}/conv_in/bias"] = sd["encoder.conv_in.bias"]
+    n_levels = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("encoder.down."))
+    for i in range(n_levels):
+        out.update(_resnet_block_entries(sd, f"encoder.down.{i}.block.0",
+                                         f"{tr}/down_{i}_block_0"))
+        dk = f"encoder.down.{i}.downsample.conv.weight"
+        if dk in sd:
+            out[f"{tr}/down_{i}_downsample/conv/kernel"] = \
+                sd[dk].transpose(2, 3, 1, 0)
+            out[f"{tr}/down_{i}_downsample/conv/bias"] = \
+                sd[f"encoder.down.{i}.downsample.conv.bias"]
+    out.update(_resnet_block_entries(sd, "encoder.mid.block_1",
+                                     f"{tr}/mid_block_1"))
+    out.update(_resnet_block_entries(sd, "encoder.mid.block_2",
+                                     f"{tr}/mid_block_2"))
+    ma, fa = "encoder.mid.attn_1", f"{tr}/mid_attn_1"
+    out[f"{fa}/norm/GroupNorm_0/scale"] = sd[f"{ma}.norm.weight"]
+    out[f"{fa}/norm/GroupNorm_0/bias"] = sd[f"{ma}.norm.bias"]
+    for pj in ("proj_in", "proj_out"):
+        out[f"{fa}/{pj}/kernel"] = sd[f"{ma}.{pj}.weight"][:, :, 0, 0].T
+        out[f"{fa}/{pj}/bias"] = sd[f"{ma}.{pj}.bias"]
+    tb = f"{ma}.transformer_blocks.0"
+    for n in ("norm1", "norm2", "norm3"):
+        out[f"{fa}/{n}/scale"] = sd[f"{tb}.{n}.weight"]
+        out[f"{fa}/{n}/bias"] = sd[f"{tb}.{n}.bias"]
+    out.update(_meca_entries(sd, f"{tb}.attn1", f"{fa}/attn1", qk_norm=False))
+    out.update(_meca_entries(sd, f"{tb}.attn2", f"{fa}/attn2", qk_norm=False))
+    out[f"{fa}/ff/proj/kernel"] = sd[f"{tb}.ff.net.0.proj.weight"].T
+    out[f"{fa}/ff/proj/bias"] = sd[f"{tb}.ff.net.0.proj.bias"]
+    out[f"{fa}/ff/out/kernel"] = sd[f"{tb}.ff.net.2.weight"].T
+    out[f"{fa}/ff/out/bias"] = sd[f"{tb}.ff.net.2.bias"]
+    out[f"{tr}/norm_out/GroupNorm_0/scale"] = sd["encoder.norm_out.weight"]
+    out[f"{tr}/norm_out/GroupNorm_0/bias"] = sd["encoder.norm_out.bias"]
+
+    n_srt = 1 + max(int(k.split(".")[4]) for k in sd
+                    if k.startswith("encoder.srt.transformer.layers."))
+    out.update(_srt_tx_entries(sd, "encoder.srt.transformer",
+                               "encoder/srt_{i}", n_srt))
+    out.update(_meca_entries(sd, "encoder.agg_ca", "encoder/agg_ca",
+                             qk_norm=True))
+    out["encoder/xyz_pos_embed/Dense_0/kernel"] = \
+        sd["encoder.xyz_pos_embed.xyz_projection.weight"].T
+    out["encoder/xyz_pos_embed/Dense_0/bias"] = \
+        sd["encoder.xyz_pos_embed.xyz_projection.bias"]
+    out["encoder/LayerNorm_0/scale"] = sd["encoder.Mlp_out.norm.weight"]
+    out["encoder/LayerNorm_0/bias"] = sd["encoder.Mlp_out.norm.bias"]
+    out.update(_timm_mlp_entries(sd, "encoder.Mlp_out.fn", "encoder/mlp_out"))
+
+    # ---------------------------------------------------------- decoder
+    out["backbone/query_pos_embed"] = sd["decoder.vit_decoder.pos_embed"]
+    n_blk = 1 + max(int(k.split(".")[3]) for k in sd
+                    if k.startswith("decoder.vit_decoder.blocks."))
+    for i in range(n_blk):
+        t = f"decoder.vit_decoder.blocks.{i}"
+        f = f"backbone/block_{i}"
+        (qw, kw, vw), qkvb = _split_qkv(sd[f"{t}.attn.qkv.weight"],
+                                        sd.get(f"{t}.attn.qkv.bias"))
+        a = f"{f}/Attention_0"
+        out[f"{a}/to_q/kernel"], out[f"{a}/to_k/kernel"], \
+            out[f"{a}/to_v/kernel"] = qw, kw, vw
+        if qkvb is not None:
+            out[f"{a}/to_q/bias"], out[f"{a}/to_k/bias"], \
+                out[f"{a}/to_v/bias"] = qkvb
+        out[f"{a}/q_norm/scale"] = sd[f"{t}.attn.q_norm.weight"]
+        out[f"{a}/k_norm/scale"] = sd[f"{t}.attn.k_norm.weight"]
+        out[f"{a}/to_out/kernel"] = sd[f"{t}.attn.proj.weight"].T
+        out[f"{a}/to_out/bias"] = sd[f"{t}.attn.proj.bias"]
+        mlp = _norm_fused_mlp(sd, f"{t}.mlp")
+        out[f"{f}/Mlp_0/Dense_0/kernel"] = np.asarray(
+            mlp[f"{t}.mlp.fc1.weight"]).T
+        out[f"{f}/Mlp_0/Dense_0/bias"] = mlp[f"{t}.mlp.fc1.bias"]
+        out[f"{f}/Mlp_0/Dense_1/kernel"] = np.asarray(
+            mlp[f"{t}.mlp.fc2.weight"]).T
+        out[f"{f}/Mlp_0/Dense_1/bias"] = mlp[f"{t}.mlp.fc2.bias"]
+        out[f"{f}/adaLN/kernel"] = sd[f"{t}.adaLN_modulation.1.weight"].T
+        out[f"{f}/adaLN/bias"] = sd[f"{t}.adaLN_modulation.1.bias"]
+
+    sr = "decoder.superresolution"
+    out.update(_timm_mlp_entries(sd, f"{sr}.quant_conv", "quant_mlp"))
+    out.update(_timm_mlp_entries(sd, f"{sr}.post_quant_conv",
+                                 "post_quant_mlp"))
+    out["base_head/Dense_0/kernel"] = \
+        sd[f"{sr}.conv_sr.gaussian_pred.1.weight"].T
+    out["base_head/Dense_0/bias"] = sd[f"{sr}.conv_sr.gaussian_pred.1.bias"]
+    for k, tname in enumerate(("ada_CA_f4_1", "ada_CA_f4_2", "ada_CA_f4_3")):
+        t = f"{sr}.{tname}"
+        if f"{t}.latent_embedding" not in sd:
+            break
+        f = f"upsamplers_{k}"
+        out[f"{f}/latent_embedding"] = np.asarray(
+            sd[f"{t}.latent_embedding"])[None]       # (1,f,D) -> (1,1,f,D)
+        lp = f"{t}.transformer.layers."
+        depth = 1 + max(int(key[len(lp):].split(".")[0]) for key in sd
+                        if key.startswith(lp))
+        out.update(_srt_tx_entries(sd, f"{t}.transformer",
+                                   f + "/tx_{i}", depth))
+        out[f"{f}/LayerNorm_0/scale"] = \
+            sd[f"{t}.gaussian_residual_pred.norm.weight"]
+        out[f"{f}/LayerNorm_0/bias"] = \
+            sd[f"{t}.gaussian_residual_pred.norm.bias"]
+        out[f"{f}/res_head/kernel"] = \
+            sd[f"{t}.gaussian_residual_pred.fn.weight"].T
+        out[f"{f}/res_head/bias"] = sd[f"{t}.gaussian_residual_pred.fn.bias"]
+
+    # validate against the template and fill
+    merged = dict(t_flat)
+    for k, v in out.items():
+        if k not in t_flat:
+            raise KeyError(f"converted name {k} not in template")
+        tgt = np.asarray(t_flat[k])
+        v = np.asarray(v)
+        if tuple(v.shape) != tuple(tgt.shape):
+            raise ValueError(f"{k}: shape {v.shape} vs {tgt.shape}")
+        merged[k] = v.astype(tgt.dtype)
+    missing = set(t_flat) - set(out)
+    if missing:
+        raise ValueError(
+            f"checkpoint did not cover {len(missing)} template params, "
+            f"e.g. {sorted(missing)[:5]} — wrong config for this checkpoint?")
+    res = unflatten_dict({tuple(k.split("/")): v for k, v in merged.items()})
+    return {"params": res} if wrapped else res
+
+
 def convert_u2net(state_dict: Dict[str, "np.ndarray"], template: Any) -> Any:
     """u2net(.pth) → `models/matting.U2Net` params. Accepts the bare param
     tree or the `{"params": ...}` variables dict; returns the same

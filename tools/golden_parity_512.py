@@ -1,0 +1,104 @@
+"""Golden-parity job: tiled vs oracle rasterizer at the release shape.
+
+Runs on the TPU (or CPU with --platform cpu, slowly): renders the release
+shape — 512², 73,728 splats — through BOTH the production tiled path and
+the O(N·H·W) oracle, for several cameras, and records per-channel max
+absolute differences plus image hashes to `tests/goldens/parity_512.json`.
+
+`tests/test_golden_parity.py` asserts the committed artifact's recorded
+errors are inside tolerance; re-run this script after any rasterizer
+change and commit the refreshed artifact:
+
+    python -m tools.golden_parity_512
+
+The oracle composites EVERY splat per pixel (no binning, no tile lists,
+no footprint clamp, no per-tile cap), so agreement pins the whole binning
+pipeline — two-bucket emission, (tile, depth-rank) co-sort, chunk
+scheduling, the custom-VJP compositing loop — to the unbinned 2DGS
+semantics of `diff-surfel-rasterization` (consumed at
+`/root/reference/nsr/gs_surfel.py:85-142`). max_per_tile is raised to
+cover the densest tile so graceful-degradation drops don't enter parity
+(the drop contract is tested separately in tests/test_rasterize_stress.py).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+RES = 512
+N_SPLATS = 73728
+CHANNELS = ("image", "alpha", "depth_median", "depth_expected",
+            "normal_view", "dist")
+# fp32 summation-order noise between the chunked oracle and the tiled
+# path's different chunk partitioning; alpha-weighted accumulators at
+# ~1e2 depth scale stay under 2e-3.
+TOL = {"image": 2e-3, "alpha": 2e-3, "depth_median": 5e-3,
+       "depth_expected": 5e-3, "normal_view": 2e-3, "dist": 2e-3}
+
+
+def main():
+    import jax
+    if "--platform" in sys.argv:
+        jax.config.update(
+            "jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiananything_tpu.data.synthetic import make_object
+    from gaussiananything_tpu.ops import rasterize as rz
+    from gaussiananything_tpu.render import cameras
+
+    g = make_object(0, n=N_SPLATS, kind="sphere")
+    views = [(20, 45), (-10, 200), (55, 310)]
+    poses = cameras.generate_input_camera(1.8, views)
+    bg = jnp.ones(3)
+
+    record = {"res": RES, "n_splats": N_SPLATS, "views": views,
+              "device": str(jax.devices()[0]), "channels": {}}
+    worst = {c: 0.0 for c in CHANNELS}
+    hashes = []
+    for vi in range(len(views)):
+        cam = cameras.pose_to_gs_camera(jnp.asarray(poses[vi]))
+        args = (g, cam["cam_view"], cam["cam_view_proj"], cam["tanfov"])
+        t0 = time.perf_counter()
+        tiled = jax.jit(lambda *a: rz.rasterize_tiled(
+            *a, bg, RES, RES, tile=16, max_per_tile=8192, chunk=256,
+            tile_group=16))(*args)
+        jax.block_until_ready(tiled["image"])
+        t_tiled = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        oracle = jax.jit(lambda *a: rz.rasterize_naive(
+            *a, RES, RES, bg))(*args)
+        jax.block_until_ready(oracle["image"])
+        t_oracle = time.perf_counter() - t0
+        print(f"view {vi}: tiled {t_tiled:.1f}s oracle {t_oracle:.1f}s",
+              flush=True)
+        for c in CHANNELS:
+            d = float(np.max(np.abs(np.asarray(tiled[c], np.float32)
+                                    - np.asarray(oracle[c], np.float32))))
+            worst[c] = max(worst[c], d)
+            status = "OK" if d <= TOL[c] else "FAIL"
+            print(f"  {c:>14}: max|Δ| = {d:.3e}  (tol {TOL[c]:g}) {status}",
+                  flush=True)
+        hashes.append(hashlib.sha256(
+            np.asarray(tiled["image"], np.float32).tobytes()).hexdigest())
+
+    record["channels"] = {c: {"max_abs_diff": worst[c], "tol": TOL[c]}
+                          for c in CHANNELS}
+    record["tiled_image_sha256"] = hashes
+    ok = all(worst[c] <= TOL[c] for c in CHANNELS)
+    record["pass"] = ok
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens", "parity_512.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(("PASS" if ok else "FAIL"), "->", out, flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,13 +36,7 @@ def main():
         if "--steps" in sys.argv else 5
 
     cfg = preset("vae")
-    model = PointVAE(
-        latent_num=cfg.vae.latent_num, z_channels=cfg.vae.z_channels,
-        encoder_width=cfg.vae.encoder_width,
-        decoder_width=cfg.vae.decoder_width,
-        decoder_depth=cfg.vae.decoder_depth,
-        decoder_heads=cfg.vae.decoder_heads,
-        up_factors=cfg.vae.up_factors, up_depths=cfg.vae.up_depths)
+    model = PointVAE.from_config(cfg.vae)
 
     batch = make_batch(seed=0, batch=1, n_views_in=4, n_views_sup=views,
                        res=512, n_pts=4096, n_splats=4096)
