@@ -30,13 +30,24 @@ from gaussiananything_tpu.models.layers import (Attention, Mlp,
 
 
 class ClayDiTBlock(nn.Module):
+    """CLAY-LRM CA→SA→FFN block (`ImageCondDiTBlockPixelArtRMSNormClayLRM`,
+    `dit/dit_models_xformers.py:717-787`).
+
+    `release_parity` pins the released checkpoints' exact semantics: the
+    cross-attention is the reference's bias-less qk-normed MECA over RAW
+    conditioner tokens (`dit/dit_models_xformers.py:740-747`) and the MLP
+    uses exact (erf) GELU like xformers FusedMLP. RMSNorms are eps 1e-5
+    affine in both modes (`dit/norm.py:12`).
+    """
+
     heads: int
     mlp_ratio: float = 4.0
+    release_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond_tokens, ada):
-        """x (B,N,D); cond_tokens (B,L,D); ada (B, 6, D) shared adaLN."""
+        """x (B,N,D); cond_tokens (B,L,C); ada (B, 6, D) shared adaLN."""
         d = x.shape[-1]
         table = self.param("scale_shift_table",
                            nn.initializers.normal(stddev=0.02 / d ** 0.5),
@@ -44,14 +55,25 @@ class ClayDiTBlock(nn.Module):
         mod = ada + table[None]
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [mod[:, i][:, None, :]
                                             for i in range(6)]
+        if self.release_parity:
+            act = (lambda t: nn.gelu(t, approximate=False))
+            ca_kw = dict(qk_norm=True, qkv_bias=False, dim_head=d // self.heads)
+        else:
+            act = nn.gelu
+            ca_kw = {}
         # cross-attention to conditioning tokens (no gating, pre-norm)
-        x = x + Attention(self.heads, dtype=self.dtype, name="cross_attn")(
-            nn.RMSNorm(dtype=jnp.float32)(x), cond_tokens)
-        h = nn.RMSNorm(dtype=jnp.float32)(x) * (1 + sc_a) + sh_a
+        x = x + Attention(self.heads, dtype=self.dtype, name="cross_attn",
+                          **ca_kw)(
+            nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
+                       name="prenorm_ca")(x), cond_tokens)
+        h = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
+                       name="norm1")(x) * (1 + sc_a) + sh_a
         x = x + g_a * Attention(self.heads, qk_norm=True, dtype=self.dtype,
                                 name="self_attn")(h)
-        h = nn.RMSNorm(dtype=jnp.float32)(x) * (1 + sc_m) + sh_m
-        x = x + g_m * Mlp(int(d * self.mlp_ratio), dtype=self.dtype)(h)
+        h = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
+                       name="norm2")(x) * (1 + sc_m) + sh_m
+        x = x + g_m * Mlp(int(d * self.mlp_ratio), act=act,
+                          dtype=self.dtype)(h)
         return x
 
 
@@ -69,6 +91,16 @@ class PointDiT(nn.Module):
     cond_dim: int = 1024         # conditioner token width
     vector_dim: int = 1024       # pooled conditioner vector width
     use_xyz_pe: bool = False     # stage-2: add XYZPosEmbed(fps-xyz)
+    # Weight-compatible release mode for importing the official stage-1/2
+    # flow-matching checkpoints (`checkpoints/i23d/stage-1/model_*.pt`) via
+    # `utils/param_io.convert_gaussiananything_dit`, reproducing
+    # `DiT_I23D_PCD_PixelArt_noclip[_clay_stage2]` exactly
+    # (`dit/dit_i23d.py:437-567,664-753`): raw t (the reference embeds
+    # t∈[0,1] directly, no ×1000), LayerNorm+zero-Linear pooled-vector
+    # embedder, NO conditioner-token projection (blocks cross-attend the
+    # raw DINO tokens), T2I final layer (per-model (2,D) table added to the
+    # t-embedding, no-affine LayerNorm eps 1e-6).
+    release_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,30 +120,51 @@ class PointDiT(nn.Module):
             h = h + XYZPosEmbed(d, dtype=self.dtype, name="xyz_pe")(xyz)
 
         t_emb = TimestepEmbedder(d, dtype=self.dtype, name="t_embedder")(
-            t * 1000.0)
-        vec = nn.Dense(d, dtype=self.dtype, name="vector_proj")(cond_vector)
+            t if self.release_parity else t * 1000.0)
+        if self.release_parity:
+            vec = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="pooled_vec_ln")(cond_vector)
+            vec = nn.Dense(d, dtype=self.dtype, name="vector_proj",
+                           kernel_init=nn.initializers.zeros)(vec)
+        else:
+            vec = nn.Dense(d, dtype=self.dtype,
+                           name="vector_proj")(cond_vector)
         ada = nn.Dense(6 * d, dtype=self.dtype, name="shared_adaln",
                        kernel_init=nn.initializers.zeros)(
                            nn.silu(t_emb + vec))
         ada = ada.reshape(ada.shape[0], 6, d)
 
-        ctx = nn.Dense(d, dtype=self.dtype, name="cond_proj")(
-            cond_tokens.astype(self.dtype))
+        if self.release_parity:
+            ctx = cond_tokens.astype(self.dtype)
+        else:
+            ctx = nn.Dense(d, dtype=self.dtype, name="cond_proj")(
+                cond_tokens.astype(self.dtype))
         for i in range(self.depth):
-            h = ClayDiTBlock(self.heads, dtype=self.dtype,
+            h = ClayDiTBlock(self.heads, release_parity=self.release_parity,
+                             dtype=self.dtype,
                              name=f"block_{i}")(h, ctx, ada)
 
         # T2I final layer: shift/scale from t, zero-init output projection
-        # (`dit/dit_models_xformers.py:62`); output cast fp32
+        # (`dit/dit_models_xformers.py:62-85`); output cast fp32
         # (`dit/dit_i23d.py:565`).
         fin = self.param("final_scale_shift",
                          nn.initializers.normal(stddev=0.02 / d ** 0.5),
                          (2, d))
-        t2 = nn.Dense(2 * d, dtype=self.dtype, name="final_adaln",
-                      kernel_init=nn.initializers.zeros)(nn.silu(t_emb))
-        t2 = t2.reshape(t2.shape[0], 2, d) + fin[None]
-        sh, sc = t2[:, 0][:, None, :], t2[:, 1][:, None, :]
-        h = nn.RMSNorm(dtype=jnp.float32)(h) * (1 + sc) + sh
+        if self.release_parity:
+            # shift/scale = table + the COMBINED conditioning embedding
+            # (t_emb + pooled vector — `dit/dit_i23d.py:544,563`
+            # `final_layer(x, t)` with t = t_embedder + pooled_vec_embedder;
+            # `T2IFinalLayer.forward`, no extra projection)
+            t2 = fin[None] + (t_emb + vec)[:, None, :]
+            sh, sc = t2[:, 0][:, None, :], t2[:, 1][:, None, :]
+            h = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-6,
+                             dtype=jnp.float32)(h) * (1 + sc) + sh
+        else:
+            t2 = nn.Dense(2 * d, dtype=self.dtype, name="final_adaln",
+                          kernel_init=nn.initializers.zeros)(nn.silu(t_emb))
+            t2 = t2.reshape(t2.shape[0], 2, d) + fin[None]
+            sh, sc = t2[:, 0][:, None, :], t2[:, 1][:, None, :]
+            h = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32)(h) * (1 + sc) + sh
         out = zero_init_dense(self.in_channels, dtype=self.dtype,
                               name="final_proj")(h)
         return out.astype(jnp.float32)
@@ -131,3 +184,23 @@ def stage2_dit(size: str = "L", z_channels: int = 10, **kw) -> PointDiT:
            "S": dict(depth=6, width=384, heads=6)}[size]
     cfg.update(kw)
     return PointDiT(in_channels=z_channels, use_xyz_pe=True, **cfg)
+
+
+def stage1_dit_release(**kw) -> PointDiT:
+    """The released `DiT-PixArt-PCD-CLAY-L` stage-1 geometry denoiser
+    (`dit/dit_i23d.py:1516-1524`; i23d-stage1.sh: in 3, context 1024)."""
+    cfg = dict(depth=24, width=1024, heads=16, cond_dim=1024,
+               vector_dim=1024)
+    cfg.update(kw)
+    return PointDiT(in_channels=3, use_xyz_pe=False, release_parity=True,
+                    **cfg)
+
+
+def stage2_dit_release(**kw) -> PointDiT:
+    """The released `DiT-PixArt-PCD-CLAY-stage2-L` texture denoiser
+    (`dit/dit_i23d.py:1546-1554`; i23d-stage2.sh: in 10, use_pe_cond)."""
+    cfg = dict(depth=24, width=1024, heads=16, cond_dim=1024,
+               vector_dim=1024)
+    cfg.update(kw)
+    return PointDiT(in_channels=10, use_xyz_pe=True, release_parity=True,
+                    **cfg)

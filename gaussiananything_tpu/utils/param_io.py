@@ -502,6 +502,95 @@ def convert_gaussiananything_vae(state_dict: Dict[str, "np.ndarray"],
     return {"params": res} if wrapped else res
 
 
+def convert_gaussiananything_dit(state_dict: Dict[str, "np.ndarray"],
+                                 template: Any) -> Any:
+    """Official GaussianAnything flow-matching DiT checkpoint
+    (`checkpoints/i23d/stage-1|stage-2/model_*.pt`:
+    `DiT_I23D_PCD_PixelArt_noclip[_clay_stage2]`, `dit/dit_i23d.py:437,664`,
+    built by `DiT_L_Pixelart_clay_pcd[_stage2]`, `:1516-1554`) → params for
+    `models/dit.PointDiT` with `release_parity=True`
+    (`stage1_dit_release` / `stage2_dit_release`).
+
+    Runtime-unused reference params (cap_embedder, attention_y_norm,
+    clip_spatial_proj) are ignored.
+    """
+    wrapped = isinstance(template, dict) and set(template) == {"params"}
+    inner = template["params"] if wrapped else template
+    t_flat = flatten_dict(inner, sep="/")
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict[str, "np.ndarray"] = {}
+
+    out.update(_timm_mlp_entries(sd, "x_embedder", "x_embedder"))
+    for i, j in ((0, 0), (2, 1)):
+        out[f"t_embedder/Dense_{j}/kernel"] = np.asarray(
+            sd[f"t_embedder.mlp.{i}.weight"]).T
+        out[f"t_embedder/Dense_{j}/bias"] = sd[f"t_embedder.mlp.{i}.bias"]
+    out["pooled_vec_ln/scale"] = sd["pooled_vec_embedder.0.weight"]
+    out["pooled_vec_ln/bias"] = sd["pooled_vec_embedder.0.bias"]
+    out["vector_proj/kernel"] = np.asarray(
+        sd["pooled_vec_embedder.1.weight"]).T
+    out["vector_proj/bias"] = sd["pooled_vec_embedder.1.bias"]
+    out["shared_adaln/kernel"] = np.asarray(
+        sd["adaLN_modulation.1.weight"]).T
+    out["shared_adaln/bias"] = sd["adaLN_modulation.1.bias"]
+    if "xyz_pos_embed.xyz_projection.weight" in sd:      # stage-2
+        out["xyz_pe/Dense_0/kernel"] = np.asarray(
+            sd["xyz_pos_embed.xyz_projection.weight"]).T
+        out["xyz_pe/Dense_0/bias"] = sd["xyz_pos_embed.xyz_projection.bias"]
+
+    n_blk = 1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith("blocks."))
+    for i in range(n_blk):
+        t = f"blocks.{i}"
+        f = f"block_{i}"
+        out[f"{f}/scale_shift_table"] = sd[f"{t}.scale_shift_table"]
+        out[f"{f}/prenorm_ca/scale"] = sd[f"{t}.prenorm_ca_dino.weight"]
+        out[f"{f}/norm1/scale"] = sd[f"{t}.norm1.weight"]
+        out[f"{f}/norm2/scale"] = sd[f"{t}.norm2.weight"]
+        out.update(_meca_entries(sd, f"{t}.cross_attn_dino",
+                                 f"{f}/cross_attn", qk_norm=True))
+        (qw, kw, vw), qkvb = _split_qkv(sd[f"{t}.attn.qkv.weight"],
+                                        sd.get(f"{t}.attn.qkv.bias"))
+        a = f"{f}/self_attn"
+        out[f"{a}/to_q/kernel"], out[f"{a}/to_k/kernel"], \
+            out[f"{a}/to_v/kernel"] = qw, kw, vw
+        if qkvb is not None:
+            out[f"{a}/to_q/bias"], out[f"{a}/to_k/bias"], \
+                out[f"{a}/to_v/bias"] = qkvb
+        out[f"{a}/q_norm/scale"] = sd[f"{t}.attn.q_norm.weight"]
+        out[f"{a}/k_norm/scale"] = sd[f"{t}.attn.k_norm.weight"]
+        out[f"{a}/to_out/kernel"] = np.asarray(sd[f"{t}.attn.proj.weight"]).T
+        out[f"{a}/to_out/bias"] = sd[f"{t}.attn.proj.bias"]
+        mlp = _norm_fused_mlp(sd, f"{t}.mlp")
+        out[f"{f}/Mlp_0/Dense_0/kernel"] = np.asarray(
+            mlp[f"{t}.mlp.fc1.weight"]).T
+        out[f"{f}/Mlp_0/Dense_0/bias"] = mlp[f"{t}.mlp.fc1.bias"]
+        out[f"{f}/Mlp_0/Dense_1/kernel"] = np.asarray(
+            mlp[f"{t}.mlp.fc2.weight"]).T
+        out[f"{f}/Mlp_0/Dense_1/bias"] = mlp[f"{t}.mlp.fc2.bias"]
+
+    out["final_scale_shift"] = sd["final_layer.scale_shift_table"]
+    out["final_proj/kernel"] = np.asarray(sd["final_layer.linear.weight"]).T
+    out["final_proj/bias"] = sd["final_layer.linear.bias"]
+
+    merged = dict(t_flat)
+    for k, v in out.items():
+        if k not in t_flat:
+            raise KeyError(f"converted name {k} not in template")
+        tgt = np.asarray(t_flat[k])
+        v = np.asarray(v)
+        if tuple(v.shape) != tuple(tgt.shape):
+            raise ValueError(f"{k}: shape {v.shape} vs {tgt.shape}")
+        merged[k] = v.astype(tgt.dtype)
+    missing = set(t_flat) - set(out)
+    if missing:
+        raise ValueError(
+            f"checkpoint did not cover {len(missing)} template params, "
+            f"e.g. {sorted(missing)[:5]} — wrong config for this checkpoint?")
+    res = unflatten_dict({tuple(k.split("/")): v for k, v in merged.items()})
+    return {"params": res} if wrapped else res
+
+
 def convert_u2net(state_dict: Dict[str, "np.ndarray"], template: Any) -> Any:
     """u2net(.pth) → `models/matting.U2Net` params. Accepts the bare param
     tree or the `{"params": ...}` variables dict; returns the same

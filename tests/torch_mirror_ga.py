@@ -499,6 +499,112 @@ class TorchVAEDecoder(nn.Module):
         return lods
 
 
+def t2i_modulate(x, shift, scale):
+    """`dit/dit_models_xformers.py:53`."""
+    return x * (1 + scale) + shift
+
+
+class TorchTimestepEmbedder(nn.Module):
+    """`dit/dit_models_xformers.py:96-128` (cos-first sinusoidal, 256)."""
+
+    def __init__(self, hidden, freq_dim=256):
+        super().__init__()
+        self.freq_dim = freq_dim
+        self.mlp = nn.Sequential(nn.Linear(freq_dim, hidden), nn.SiLU(),
+                                 nn.Linear(hidden, hidden))
+
+    def forward(self, t):
+        half = self.freq_dim // 2
+        freqs = torch.exp(-math.log(10000) *
+                          torch.arange(half, dtype=torch.float32) / half)
+        args = t[:, None].float() * freqs[None]
+        emb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+        return self.mlp(emb)
+
+
+class TorchT2IFinalLayer(nn.Module):
+    """`dit/dit_models_xformers.py:62-85`."""
+
+    def __init__(self, dim, out_ch):
+        super().__init__()
+        self.norm_final = nn.LayerNorm(dim, elementwise_affine=False,
+                                       eps=1e-6)
+        self.linear = nn.Linear(dim, out_ch)
+        self.scale_shift_table = nn.Parameter(torch.randn(2, dim)
+                                              / dim ** 0.5)
+
+    def forward(self, x, t):
+        shift, scale = (self.scale_shift_table[None] + t[:, None]).chunk(
+            2, dim=1)
+        return self.linear(t2i_modulate(self.norm_final(x), shift, scale))
+
+
+class TorchClayBlock(nn.Module):
+    """`ImageCondDiTBlockPixelArtRMSNormClayLRM`
+    (`dit/dit_models_xformers.py:717-787`): CA(dino) → adaLN-gated SA →
+    adaLN-gated FusedMLP, per-block scale_shift_table over a shared t0."""
+
+    def __init__(self, dim, heads, ctx_dim):
+        super().__init__()
+        self.norm1 = RMSNorm(dim)
+        self.norm2 = RMSNorm(dim)
+        self.attn = PackedAttention(dim, heads)
+        self.mlp = FusedMLP(dim, 4 * dim)
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim)
+                                              / dim ** 0.5)
+        self.cross_attn_dino = MECA(dim, ctx_dim, heads=heads,
+                                    dim_head=dim // heads, qk_norm=True)
+        self.prenorm_ca_dino = RMSNorm(dim)
+        # present in the state dict, unused at runtime
+        # (`dit/dit_models_xformers.py:457-459`)
+        self.attention_y_norm = RMSNorm(1024)
+
+    def forward(self, x, t0, dino_tokens):
+        B = x.shape[0]
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = (
+            self.scale_shift_table[None] + t0.reshape(B, 6, -1)).chunk(
+                6, dim=1)
+        x = x + self.cross_attn_dino(self.prenorm_ca_dino(x), dino_tokens)
+        x = x + g_a * self.attn(t2i_modulate(self.norm1(x), sh_a, sc_a))
+        x = x + g_m * self.mlp(t2i_modulate(self.norm2(x), sh_m, sc_m))
+        return x
+
+
+class TorchClayDiT(nn.Module):
+    """`DiT_I23D_PCD_PixelArt_noclip` (stage-1) /
+    `…_clay_stage2` (stage-2, use_pe_cond) mirror with the TRUE reference
+    state-dict keys (`dit/dit_i23d.py:437-567,664-753`)."""
+
+    def __init__(self, in_channels=3, dim=1024, depth=24, heads=16,
+                 ctx_dim=1024, use_pe_cond=False):
+        super().__init__()
+        self.use_pe_cond = use_pe_cond
+        self.x_embedder = TimmMlp(in_channels, dim, dim)
+        self.t_embedder = TorchTimestepEmbedder(dim)
+        self.pooled_vec_embedder = nn.Sequential(
+            nn.LayerNorm(ctx_dim), nn.Linear(ctx_dim, dim))
+        self.adaLN_modulation = nn.Sequential(nn.SiLU(),
+                                              nn.Linear(dim, 6 * dim))
+        # created by the base class, unused in the noclip forward
+        self.cap_embedder = nn.Sequential(nn.LayerNorm(768),
+                                          nn.Linear(768, dim))
+        self.blocks = nn.ModuleList(
+            [TorchClayBlock(dim, heads, ctx_dim) for _ in range(depth)])
+        self.final_layer = TorchT2IFinalLayer(dim, in_channels)
+        if use_pe_cond:
+            self.xyz_pos_embed = XYZPosEmbed(dim)
+
+    def forward(self, x, t, dino_tokens, dino_vector, fps_xyz=None):
+        tt = self.t_embedder(t) + self.pooled_vec_embedder(dino_vector)
+        t0 = self.adaLN_modulation(tt)
+        x = self.x_embedder(x)
+        if self.use_pe_cond:
+            x = x + self.xyz_pos_embed(fps_xyz)
+        for blk in self.blocks:
+            x = blk(x, t0, dino_tokens)
+        return self.final_layer(x, tt).float()
+
+
 class TorchReleaseVAE(nn.Module):
     """Top-level AE mirror: state-dict keys `encoder.*` / `decoder.*`."""
 
