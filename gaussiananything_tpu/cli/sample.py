@@ -19,8 +19,13 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="demo-e2e")
+    p.add_argument("--release", action="store_true",
+                   help="official-checkpoint mode: release-parity models "
+                        "(DINOv2@518 conditioner, CLAY-L DiTs, parity VAE); "
+                        "pass npz checkpoints from cli.import_release")
     p.add_argument("--stage1-ckpt", default=None)
-    p.add_argument("--stage1-cond-ckpt", default=None)
+    p.add_argument("--stage1-cond-ckpt", default=None,
+                   help="conditioner weights (--release: imported DINOv2)")
     p.add_argument("--stage2-ckpt", default=None)
     p.add_argument("--stage2-cond-ckpt", default=None)
     p.add_argument("--vae-ckpt", default=None)
@@ -61,13 +66,32 @@ def main(argv=None):
                                                   restore_checkpoint)
 
     cfg = preset(args.preset)
+    if args.release:
+        # official-checkpoint shapes: CLAY-L DiTs on 768 tokens, DINOv2
+        # ViT-L/14-reg @518 conditioner, release VAE ladder
+        # (i23d-stage1.sh / i23d-stage2.sh / vae3d-adv-512.sh)
+        cfg = dataclasses.replace(
+            cfg,
+            dit=dataclasses.replace(cfg.dit, size="L", cond_width=1024,
+                                    cond_depth=24, cond_heads=16,
+                                    cond_img_size=518),
+            vae=dataclasses.replace(cfg.vae, latent_num=768, z_channels=10,
+                                    encoder_width=256, decoder_width=768,
+                                    decoder_depth=12, decoder_heads=12,
+                                    up_factors=(8, 4, 3),
+                                    up_depths=(2, 1, 1),
+                                    release_parity=True))
     os.makedirs(args.out, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     tx = make_optimizer(TrainStateConfig())
 
     dtype = compute_dtype(cfg.dit.compute_dtype)
-    dit1 = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
-                      vector_dim=cfg.dit.cond_width, dtype=dtype)
+    if args.release:
+        from gaussiananything_tpu.models.dit import stage1_dit_release
+        dit1 = stage1_dit_release(dtype=dtype)
+    else:
+        dit1 = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
+                          vector_dim=cfg.dit.cond_width, dtype=dtype)
     if args.text is not None:
         from gaussiananything_tpu.models.conditioner import (
             TextConditioner, tokenize_bytes)
@@ -79,7 +103,9 @@ def main(argv=None):
         cond = ImageConditioner(width=cfg.dit.cond_width,
                                 depth=cfg.dit.cond_depth,
                                 heads=cfg.dit.cond_heads,
-                                img_size=cfg.dit.cond_img_size, dtype=dtype)
+                                img_size=cfg.dit.cond_img_size,
+                                backbone="dinov2" if args.release
+                                else "scratch", dtype=dtype)
         if args.image_dir:
             from gaussiananything_tpu.data.real import RealImageDataset
             ds = RealImageDataset(args.image_dir,
@@ -102,6 +128,10 @@ def main(argv=None):
     def _restore(ckpt, params):
         if not ckpt:
             return params
+        if ckpt.endswith(".npz"):
+            # imported official checkpoint (cli.import_release)
+            from gaussiananything_tpu.utils.param_io import load_params_npz
+            return load_params_npz(ckpt, template=params)
         st = restore_checkpoint(ckpt, TrainState.create(params, tx))
         return st.ema_params
 
@@ -124,9 +154,16 @@ def main(argv=None):
               f"range {xyz.min():.3f}..{xyz.max():.3f}")
 
         if args.stage2_ckpt or args.vae_ckpt:
-            dit2 = stage2_dit(cfg.dit.size, z_channels=cfg.vae.z_channels,
-                              cond_dim=cfg.dit.cond_width,
-                              vector_dim=cfg.dit.cond_width, dtype=dtype)
+            if args.release:
+                from gaussiananything_tpu.models.dit import \
+                    stage2_dit_release
+                dit2 = stage2_dit_release(dtype=dtype)
+            else:
+                dit2 = stage2_dit(cfg.dit.size,
+                                  z_channels=cfg.vae.z_channels,
+                                  cond_dim=cfg.dit.cond_width,
+                                  vector_dim=cfg.dit.cond_width,
+                                  dtype=dtype)
             z0 = jnp.zeros((1, K, cfg.vae.z_channels))
             dit2_params = dit2.init(
                 rng, z0, jnp.zeros((1,)),
@@ -143,11 +180,17 @@ def main(argv=None):
 
             vae = PointVAE.from_config(
                 dataclasses.replace(cfg.vae, latent_num=K))
-            from gaussiananything_tpu.data.synthetic import make_batch
-            b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
-                            n_views_sup=1, res=cfg.data.resolution,
-                            n_pts=cfg.data.n_points, n_splats=512)
-            vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
+            if args.release:
+                # decode-only path: init template at minimal shapes
+                vae_params = vae.init(rng, jnp.zeros((1, 1, 15, 64, 64)),
+                                      jnp.zeros((1, K, 3)), rng)
+            else:
+                from gaussiananything_tpu.data.synthetic import make_batch
+                b0 = make_batch(seed=0, batch=1,
+                                n_views_in=cfg.data.n_views_in,
+                                n_views_sup=1, res=cfg.data.resolution,
+                                n_pts=cfg.data.n_points, n_splats=512)
+                vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
             vae_params = _restore(args.vae_ckpt, vae_params)
             lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
                              method=vae.decode)

@@ -133,6 +133,12 @@ class ImageConditioner(nn.Module):
                  train: bool = False) -> Conditioning:
         if self.backbone == "dinov2":
             from gaussiananything_tpu.models.dinov2 import Dinov2ViT
+            if images.shape[-1] != self.img_size:
+                # the reference bicubic-resizes ANY input to inp_size
+                # (modules.py:863-875 kornia resize 518)
+                images = jax.image.resize(
+                    images, images.shape[:2] + (self.img_size,) * 2,
+                    method="cubic")
             x = jnp.moveaxis(images, 1, -1)
             mean = jnp.asarray([0.485, 0.456, 0.406])
             std = jnp.asarray([0.229, 0.224, 0.225])
@@ -140,9 +146,9 @@ class ImageConditioner(nn.Module):
             patch_tokens, cls_tok = Dinov2ViT(
                 width=self.width, depth=self.depth, heads=self.heads,
                 img_size=self.img_size, dtype=self.dtype, name="vit")(x)
-            # reference concatenates cls + patch tokens for crossattn and
-            # uses cls as the vector slot (modules.py:900-930)
-            tokens = jnp.concatenate([cls_tok[:, None], patch_tokens], axis=1)
+            # release semantics (output_cls=True, modules.py:896-931):
+            # crossattn = x_norm_patchtokens ONLY; vector = cls token
+            tokens = patch_tokens
             pooled = cls_tok
         else:
             tokens, pooled = VisionTransformer(
@@ -156,7 +162,7 @@ class ImageConditioner(nn.Module):
         return Conditioning(crossattn=tokens, vector=pooled)
 
     def unconditional(self, batch: int) -> Conditioning:
-        n_extra = 1 + 4 if self.backbone == "scratch" else 1
+        n_extra = 1 + 4 if self.backbone == "scratch" else 0
         L = (self.img_size // 14) ** 2 + n_extra
         return Conditioning(
             crossattn=jnp.zeros((batch, L, self.width), jnp.float32),

@@ -257,7 +257,8 @@ class TestConditionerBackbones:
         imgs = jnp.zeros((2, 3, IMG, IMG))
         params = m.init(jax.random.key(0), imgs)
         out = m.apply(params, imgs)
-        L = (IMG // 14) ** 2 + 1
+        # release semantics: crossattn = patch tokens only (cls -> vector)
+        L = (IMG // 14) ** 2
         assert out.crossattn.shape == (2, L, D)
         assert out.vector.shape == (2, D)
         unc = m.unconditional(2)
