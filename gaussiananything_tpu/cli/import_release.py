@@ -44,7 +44,8 @@ def load_torch_checkpoint(path: str):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--kind", required=True,
-                   choices=["vae", "dit-stage1", "dit-stage2", "dinov2",
+                   choices=["vae", "dit-stage1", "dit-stage2",
+                            "dit-t23d-stage1", "dit-t23d-stage2", "dinov2",
                             "clip-text", "lpips-vgg", "u2net"])
     p.add_argument("--ckpt", required=True, help="torch .pt/.pth checkpoint")
     p.add_argument("--out", required=True, help="output .npz path")
@@ -81,9 +82,14 @@ def main(argv=None):
         tpl = model.init(rng, jnp.zeros((1, 1, 15, 64, 64)),
                          jnp.zeros((1, max(n, 8), 3)), rng)
         params = param_io.convert_gaussiananything_vae(sd, tpl)
-    elif args.kind in ("dit-stage1", "dit-stage2"):
-        from gaussiananything_tpu.models.dit import (stage1_dit_release,
-                                                     stage2_dit_release)
+    elif args.kind.startswith("dit-"):
+        from gaussiananything_tpu.models import dit as dit_mod
+        factory = {
+            "dit-stage1": dit_mod.stage1_dit_release,
+            "dit-stage2": dit_mod.stage2_dit_release,
+            "dit-t23d-stage1": dit_mod.t23d_stage1_dit_release,
+            "dit-t23d-stage2": dit_mod.t23d_stage2_dit_release,
+        }[args.kind]
         kw = {}
         if args.width:
             kw.update(width=args.width)
@@ -93,10 +99,9 @@ def main(argv=None):
             kw.update(heads=args.heads)
         if args.cond_dim:
             kw.update(cond_dim=args.cond_dim, vector_dim=args.cond_dim)
-        stage2 = args.kind == "dit-stage2"
-        model = (stage2_dit_release if stage2 else stage1_dit_release)(**kw)
-        cd = kw.get("cond_dim", 1024)
-        extra = dict(xyz=jnp.zeros((1, 16, 3))) if stage2 else {}
+        model = factory(**kw)
+        cd = model.cond_dim
+        extra = dict(xyz=jnp.zeros((1, 16, 3))) if model.use_xyz_pe else {}
         tpl = model.init(rng, jnp.zeros((1, 16, model.in_channels)),
                          jnp.zeros((1,)), jnp.zeros((1, 2, cd)),
                          jnp.zeros((1, cd)), **extra)

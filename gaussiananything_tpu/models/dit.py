@@ -43,6 +43,10 @@ class ClayDiTBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     release_parity: bool = False
+    # "clay": CA→SA→FFN, the i23d release blocks; "text": SA→CA→FFN with a
+    # per-block context RMSNorm, the t23d release blocks
+    # (`PixelArtTextCondDiTBlock`, `dit/dit_models_xformers.py:329-376`).
+    variant: str = "clay"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,19 +61,38 @@ class ClayDiTBlock(nn.Module):
                                             for i in range(6)]
         if self.release_parity:
             act = (lambda t: nn.gelu(t, approximate=False))
-            ca_kw = dict(qk_norm=True, qkv_bias=False, dim_head=d // self.heads)
+            # CLAY CA: dim_head = hidden/heads (`:746`); text CA: MECA
+            # default dim_head 64 (`:346-347`) — equal in every release size
+            dh = d // self.heads if self.variant == "clay" else 64
+            ca_kw = dict(qk_norm=True, qkv_bias=False, dim_head=dh)
         else:
             act = nn.gelu
             ca_kw = {}
-        # cross-attention to conditioning tokens (no gating, pre-norm)
-        x = x + Attention(self.heads, dtype=self.dtype, name="cross_attn",
-                          **ca_kw)(
-            nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
-                       name="prenorm_ca")(x), cond_tokens)
-        h = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
-                       name="norm1")(x) * (1 + sc_a) + sh_a
-        x = x + g_a * Attention(self.heads, qk_norm=True, dtype=self.dtype,
-                                name="self_attn")(h)
+
+        def cross_attn(h):
+            ctx = cond_tokens
+            if self.release_parity and self.variant == "text":
+                # the text block RMS-normalises the CONTEXT tokens too
+                # (`attention_y_norm`, `:351-353,371`)
+                ctx = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
+                                 name="attention_y_norm")(ctx)
+            return Attention(self.heads, dtype=self.dtype,
+                             name="cross_attn", **ca_kw)(
+                nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name="prenorm_ca")(h), ctx)
+
+        def self_attn(h):
+            m = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name="norm1")(h) * (1 + sc_a) + sh_a
+            return g_a * Attention(self.heads, qk_norm=True,
+                                   dtype=self.dtype, name="self_attn")(m)
+
+        if self.variant == "text":
+            x = x + self_attn(x)
+            x = x + cross_attn(x)
+        else:
+            x = x + cross_attn(x)
+            x = x + self_attn(x)
         h = nn.RMSNorm(epsilon=1e-5, dtype=jnp.float32,
                        name="norm2")(x) * (1 + sc_m) + sh_m
         x = x + g_m * Mlp(int(d * self.mlp_ratio), act=act,
@@ -101,6 +124,7 @@ class PointDiT(nn.Module):
     # raw DINO tokens), T2I final layer (per-model (2,D) table added to the
     # t-embedding, no-affine LayerNorm eps 1e-6).
     release_parity: bool = False
+    variant: str = "clay"        # see ClayDiTBlock.variant
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -141,7 +165,7 @@ class PointDiT(nn.Module):
                 cond_tokens.astype(self.dtype))
         for i in range(self.depth):
             h = ClayDiTBlock(self.heads, release_parity=self.release_parity,
-                             dtype=self.dtype,
+                             variant=self.variant, dtype=self.dtype,
                              name=f"block_{i}")(h, ctx, ada)
 
         # T2I final layer: shift/scale from t, zero-init output projection
@@ -204,3 +228,24 @@ def stage2_dit_release(**kw) -> PointDiT:
     cfg.update(kw)
     return PointDiT(in_channels=10, use_xyz_pe=True, release_parity=True,
                     **cfg)
+
+
+def t23d_stage1_dit_release(**kw) -> PointDiT:
+    """The released t23d `DiT-PCD-L` geometry denoiser
+    (`dit/dit_trilatent.py:262,519`; stage1-t23d.sh: in 3, CLIP text
+    context 768)."""
+    cfg = dict(depth=24, width=1024, heads=16, cond_dim=768,
+               vector_dim=768)
+    cfg.update(kw)
+    return PointDiT(in_channels=3, use_xyz_pe=False, release_parity=True,
+                    variant="text", **cfg)
+
+
+def t23d_stage2_dit_release(**kw) -> PointDiT:
+    """The released t23d `DiT-PCD-L-stage2-xyz2feat` texture denoiser
+    (`dit/dit_trilatent.py:335,509`; stage2-t23d.sh: in 10, use_pe_cond)."""
+    cfg = dict(depth=24, width=1024, heads=16, cond_dim=768,
+               vector_dim=768)
+    cfg.update(kw)
+    return PointDiT(in_channels=10, use_xyz_pe=True, release_parity=True,
+                    variant="text", **cfg)

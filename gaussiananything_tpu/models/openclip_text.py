@@ -69,7 +69,15 @@ class ClipResBlock(nn.Module):
 
 
 class OpenClipTextTower(nn.Module):
-    """Returns (tokens (B, L, width) after ln_final, pooled (B, embed))."""
+    """Returns (tokens (B, L, width), pooled (B, embed)).
+
+    Token semantics follow the release conditioner exactly
+    (`FrozenOpenCLIPEmbedder2`, legacy=False, layer='last',
+    `sgm/modules/encoders/modules.py:474-508`): the crossattn tokens are
+    the last resblock's output WITHOUT ln_final (the dict entry
+    `x['last']` is stored before `o = ln_final(o)` — a new variable — so
+    the returned tokens stay unnormalised), while the pooled vector is
+    ln_final → eot-gather → text_projection."""
 
     vocab: int = 49408
     width: int = 768
@@ -98,6 +106,7 @@ class OpenClipTextTower(nn.Module):
             x = ClipResBlock(self.width, self.heads,
                              quick_gelu=self.quick_gelu, dtype=self.dtype,
                              name=f"resblocks.{i}")(x, causal)
+        tokens = x                                     # pre-ln_final
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         proj = self.param("text_projection", nn.initializers.normal(0.01),
                           (self.width, self.embed_dim))
@@ -105,7 +114,7 @@ class OpenClipTextTower(nn.Module):
         pooled = jnp.take_along_axis(
             x, eot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         pooled = pooled @ proj.astype(pooled.dtype)
-        return x, pooled
+        return tokens, pooled
 
 
 # ---------------------------------------------------------------------------

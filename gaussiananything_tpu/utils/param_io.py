@@ -520,16 +520,22 @@ def convert_gaussiananything_dit(state_dict: Dict[str, "np.ndarray"],
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     out: Dict[str, "np.ndarray"] = {}
 
+    # i23d CLAY layout vs t23d text layout (`dit/dit_trilatent.py:262`):
+    # detected from the block params; the pooled-vector embedder is
+    # `pooled_vec_embedder` (i23d) / `cap_embedder` (t23d)
+    text_variant = "blocks.0.prenorm_ca_text.weight" in sd
+    vec_prefix = "cap_embedder" if text_variant else "pooled_vec_embedder"
+
     out.update(_timm_mlp_entries(sd, "x_embedder", "x_embedder"))
     for i, j in ((0, 0), (2, 1)):
         out[f"t_embedder/Dense_{j}/kernel"] = np.asarray(
             sd[f"t_embedder.mlp.{i}.weight"]).T
         out[f"t_embedder/Dense_{j}/bias"] = sd[f"t_embedder.mlp.{i}.bias"]
-    out["pooled_vec_ln/scale"] = sd["pooled_vec_embedder.0.weight"]
-    out["pooled_vec_ln/bias"] = sd["pooled_vec_embedder.0.bias"]
+    out["pooled_vec_ln/scale"] = sd[f"{vec_prefix}.0.weight"]
+    out["pooled_vec_ln/bias"] = sd[f"{vec_prefix}.0.bias"]
     out["vector_proj/kernel"] = np.asarray(
-        sd["pooled_vec_embedder.1.weight"]).T
-    out["vector_proj/bias"] = sd["pooled_vec_embedder.1.bias"]
+        sd[f"{vec_prefix}.1.weight"]).T
+    out["vector_proj/bias"] = sd[f"{vec_prefix}.1.bias"]
     out["shared_adaln/kernel"] = np.asarray(
         sd["adaLN_modulation.1.weight"]).T
     out["shared_adaln/bias"] = sd["adaLN_modulation.1.bias"]
@@ -544,11 +550,18 @@ def convert_gaussiananything_dit(state_dict: Dict[str, "np.ndarray"],
         t = f"blocks.{i}"
         f = f"block_{i}"
         out[f"{f}/scale_shift_table"] = sd[f"{t}.scale_shift_table"]
-        out[f"{f}/prenorm_ca/scale"] = sd[f"{t}.prenorm_ca_dino.weight"]
         out[f"{f}/norm1/scale"] = sd[f"{t}.norm1.weight"]
         out[f"{f}/norm2/scale"] = sd[f"{t}.norm2.weight"]
-        out.update(_meca_entries(sd, f"{t}.cross_attn_dino",
-                                 f"{f}/cross_attn", qk_norm=True))
+        if text_variant:
+            out[f"{f}/prenorm_ca/scale"] = sd[f"{t}.prenorm_ca_text.weight"]
+            out[f"{f}/attention_y_norm/scale"] = \
+                sd[f"{t}.attention_y_norm.weight"]
+            out.update(_meca_entries(sd, f"{t}.cross_attn",
+                                     f"{f}/cross_attn", qk_norm=True))
+        else:
+            out[f"{f}/prenorm_ca/scale"] = sd[f"{t}.prenorm_ca_dino.weight"]
+            out.update(_meca_entries(sd, f"{t}.cross_attn_dino",
+                                     f"{f}/cross_attn", qk_norm=True))
         (qw, kw, vw), qkvb = _split_qkv(sd[f"{t}.attn.qkv.weight"],
                                         sd.get(f"{t}.attn.qkv.bias"))
         a = f"{f}/self_attn"

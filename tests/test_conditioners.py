@@ -194,10 +194,14 @@ def numpy_clip_text_forward(sd, ids):
         h = h * (1.0 / (1.0 + np.exp(-1.702 * h)))        # QuickGELU
         h = h @ sd[p + "mlp.c_proj.weight"].T + sd[p + "mlp.c_proj.bias"]
         x = x + h
+    # reference embedder-2 (legacy=False, layer='last'): crossattn tokens
+    # are PRE-ln_final; only the pooled path goes through ln_final
+    # (modules.py:483-495 — the dict's x['last'] is never re-assigned)
+    tokens = x
     x = _ln(x, sd["ln_final.weight"], sd["ln_final.bias"], eps=1e-5)
     eot = ids.argmax(-1)
     pooled = x[np.arange(B), eot] @ sd["text_projection"]
-    return x, pooled
+    return tokens, pooled
 
 
 class TestOpenClipTextImport:

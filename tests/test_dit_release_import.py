@@ -23,7 +23,7 @@ from gaussiananything_tpu.models.dit import PointDiT           # noqa: E402
 from gaussiananything_tpu.utils.param_io import (              # noqa: E402
     convert_gaussiananything_dit)
 
-from torch_mirror_ga import TorchClayDiT                       # noqa: E402
+from torch_mirror_ga import TorchClayDiT, TorchTextDiT         # noqa: E402
 
 DIM, DEPTH, HEADS, CTX = 128, 3, 2, 96
 B, N, L = 2, 16, 11
@@ -45,16 +45,17 @@ def _randomize(model: torch.nn.Module, seed: int = 0):
                 p.copy_(0.2 * torch.randn(p.shape, generator=g))
 
 
-def _build(stage: int):
+def _build(stage: int, variant: str = "clay"):
     in_ch = 3 if stage == 1 else 10
-    tm = TorchClayDiT(in_channels=in_ch, dim=DIM, depth=DEPTH, heads=HEADS,
-                      ctx_dim=CTX, use_pe_cond=(stage == 2)).eval()
+    mirror = TorchClayDiT if variant == "clay" else TorchTextDiT
+    tm = mirror(in_channels=in_ch, dim=DIM, depth=DEPTH, heads=HEADS,
+                ctx_dim=CTX, use_pe_cond=(stage == 2)).eval()
     _randomize(tm, seed=stage)
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     fm = PointDiT(in_channels=in_ch, width=DIM, depth=DEPTH, heads=HEADS,
                   cond_dim=CTX, vector_dim=CTX, use_xyz_pe=(stage == 2),
-                  release_parity=True)
+                  release_parity=True, variant=variant)
     r = np.random.RandomState(stage)
     x = r.randn(B, N, in_ch).astype(np.float32)
     t = r.rand(B).astype(np.float32)
@@ -77,8 +78,11 @@ def _build(stage: int):
 
 
 @pytest.mark.parametrize("stage", [1, 2])
-def test_velocity_field_matches(stage):
-    ours, ref = _build(stage)
+@pytest.mark.parametrize("variant", ["clay", "text"])
+def test_velocity_field_matches(stage, variant):
+    """clay = i23d DiT-PixArt-PCD-CLAY-L; text = t23d DiT-PCD-L
+    (`dit/dit_trilatent.py:262,335`)."""
+    ours, ref = _build(stage, variant)
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 

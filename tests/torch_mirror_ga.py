@@ -570,6 +570,68 @@ class TorchClayBlock(nn.Module):
         return x
 
 
+class TorchTextBlock(nn.Module):
+    """`PixelArtTextCondDiTBlock` (`dit/dit_models_xformers.py:329-376`):
+    adaLN-gated SA → CA(text) with prenorm_ca_text + attention_y_norm on
+    the context → adaLN-gated FusedMLP."""
+
+    def __init__(self, dim, heads, ctx_dim):
+        super().__init__()
+        self.norm1 = RMSNorm(dim)
+        self.norm2 = RMSNorm(dim)
+        self.attn = PackedAttention(dim, heads)
+        self.mlp = FusedMLP(dim, 4 * dim)
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim)
+                                              / dim ** 0.5)
+        self.cross_attn = MECA(dim, ctx_dim, heads=heads, dim_head=64,
+                               qk_norm=True)
+        self.attention_y_norm = RMSNorm(ctx_dim)
+        self.prenorm_ca_text = RMSNorm(dim)
+
+    def forward(self, x, t0, text_tokens):
+        B = x.shape[0]
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = (
+            self.scale_shift_table[None] + t0.reshape(B, 6, -1)).chunk(
+                6, dim=1)
+        x = x + g_a * self.attn(t2i_modulate(self.norm1(x), sh_a, sc_a))
+        x = x + self.cross_attn(self.prenorm_ca_text(x),
+                                self.attention_y_norm(text_tokens))
+        x = x + g_m * self.mlp(t2i_modulate(self.norm2(x), sh_m, sc_m))
+        return x
+
+
+class TorchTextDiT(nn.Module):
+    """t23d `DiT_PCD_PixelArt[_tofeat]` mirror
+    (`dit/dit_trilatent.py:262-420`) with the TRUE reference keys:
+    cap_embedder pooled path, PixelArtTextCondDiTBlock trunk."""
+
+    def __init__(self, in_channels=3, dim=1024, depth=24, heads=16,
+                 ctx_dim=768, use_pe_cond=False):
+        super().__init__()
+        self.use_pe_cond = use_pe_cond
+        self.x_embedder = TimmMlp(in_channels, dim, dim)
+        self.t_embedder = TorchTimestepEmbedder(dim)
+        self.cap_embedder = nn.Sequential(nn.LayerNorm(ctx_dim),
+                                          nn.Linear(ctx_dim, dim))
+        self.adaLN_modulation = nn.Sequential(nn.SiLU(),
+                                              nn.Linear(dim, 6 * dim))
+        self.blocks = nn.ModuleList(
+            [TorchTextBlock(dim, heads, ctx_dim) for _ in range(depth)])
+        self.final_layer = TorchT2IFinalLayer(dim, in_channels)
+        if use_pe_cond:
+            self.xyz_pos_embed = XYZPosEmbed(dim)
+
+    def forward(self, x, t, text_tokens, text_vector, fps_xyz=None):
+        tt = self.t_embedder(t) + self.cap_embedder(text_vector)
+        t0 = self.adaLN_modulation(tt)
+        x = self.x_embedder(x)
+        if self.use_pe_cond:
+            x = x + self.xyz_pos_embed(fps_xyz)
+        for blk in self.blocks:
+            x = blk(x, t0, text_tokens)
+        return self.final_layer(x, tt).float()
+
+
 class TorchClayDiT(nn.Module):
     """`DiT_I23D_PCD_PixelArt_noclip` (stage-1) /
     `…_clay_stage2` (stage-2, use_pe_cond) mirror with the TRUE reference
