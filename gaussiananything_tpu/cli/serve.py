@@ -25,14 +25,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 def build_pipeline(args):
     """Load models once; returns generate(image_array, seed) -> dict."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from gaussiananything_tpu.config import preset
     from gaussiananything_tpu.models.conditioner import ImageConditioner
-    from gaussiananything_tpu.models.dit import stage1_dit
-    from gaussiananything_tpu.render.ply_io import (save_pointcloud_glb,
+    from gaussiananything_tpu.models.dit import (stage1_dit,
+                                                 stage1_dit_release,
+                                                 stage2_dit,
+                                                 stage2_dit_release)
+    from gaussiananything_tpu.models.vae import PointVAE
+    from gaussiananything_tpu.render.ply_io import (save_2dgs_ply,
+                                                    save_pointcloud_glb,
                                                     save_pointcloud_ply)
     from gaussiananything_tpu.train.fm_trainer import (FMConfig, XYZ_SCALE,
                                                        make_sampler)
@@ -42,13 +49,29 @@ def build_pipeline(args):
                                                   restore_checkpoint)
 
     cfg = preset(args.preset)
+    if args.release:
+        cfg = dataclasses.replace(
+            cfg,
+            dit=dataclasses.replace(cfg.dit, size="L", cond_width=1024,
+                                    cond_depth=24, cond_heads=16,
+                                    cond_img_size=518),
+            vae=dataclasses.replace(cfg.vae, latent_num=768, z_channels=10,
+                                    encoder_width=256, decoder_width=768,
+                                    decoder_depth=12, decoder_heads=12,
+                                    up_factors=(8, 4, 3),
+                                    up_depths=(2, 1, 1),
+                                    release_parity=True))
     rng = jax.random.PRNGKey(42)
-    dit = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
-                     vector_dim=cfg.dit.cond_width)
+    if args.release:
+        dit = stage1_dit_release()
+    else:
+        dit = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
+                         vector_dim=cfg.dit.cond_width)
     cond = ImageConditioner(width=cfg.dit.cond_width,
                             depth=cfg.dit.cond_depth,
                             heads=cfg.dit.cond_heads,
-                            img_size=cfg.dit.cond_img_size)
+                            img_size=cfg.dit.cond_img_size,
+                            backbone="dinov2" if args.release else "scratch")
     K = cfg.vae.latent_num
     dummy = jnp.zeros((1, 3, cfg.dit.cond_img_size, cfg.dit.cond_img_size))
     cond_params = cond.init(rng, dummy)
@@ -56,17 +79,46 @@ def build_pipeline(args):
     dit_params = dit.init(rng, jnp.zeros((1, K, 3)), jnp.zeros((1,)),
                           c0.crossattn, c0.vector)
     tx = make_optimizer(TrainStateConfig())
-    if args.stage1_ckpt:
-        dit_params = restore_checkpoint(
-            args.stage1_ckpt, TrainState.create(dit_params, tx)).ema_params
-    if args.cond_ckpt:
-        cond_params = restore_checkpoint(
-            args.cond_ckpt, TrainState.create(cond_params, tx)).ema_params
+
+    def _restore(ckpt, params):
+        if not ckpt:
+            return params
+        if ckpt.endswith(".npz"):
+            from gaussiananything_tpu.utils.param_io import load_params_npz
+            return load_params_npz(ckpt, template=params)
+        return restore_checkpoint(
+            ckpt, TrainState.create(params, tx)).ema_params
+
+    dit_params = _restore(args.stage1_ckpt, dit_params)
+    cond_params = _restore(args.cond_ckpt, cond_params)
 
     fm = FMConfig(stage=1, cfg_scale=cfg.transport.cfg_scale,
                   num_steps=args.steps or cfg.transport.num_steps,
                   sampler=cfg.transport.sampler)
     sampler = make_sampler(dit, cond, fm, latent_shape=(K, 3))
+
+    # optional stage-2 + VAE decode (the reference gradio app's second
+    # engine, `scripts/gradio_app_cascaded.py:229-235`)
+    sampler2 = dit2_params = vae = vae_params = None
+    if args.stage2_ckpt or args.vae_ckpt:
+        if args.release:
+            dit2 = stage2_dit_release()
+        else:
+            dit2 = stage2_dit(cfg.dit.size, z_channels=cfg.vae.z_channels,
+                              cond_dim=cfg.dit.cond_width,
+                              vector_dim=cfg.dit.cond_width)
+        dit2_params = dit2.init(rng, jnp.zeros((1, K, cfg.vae.z_channels)),
+                                jnp.zeros((1,)), c0.crossattn, c0.vector,
+                                jnp.zeros((1, K, 3)))
+        dit2_params = _restore(args.stage2_ckpt, dit2_params)
+        fm2 = FMConfig(stage=2, cfg_scale=fm.cfg_scale,
+                       num_steps=fm.num_steps, sampler=fm.sampler)
+        sampler2 = make_sampler(dit2, cond, fm2,
+                                latent_shape=(K, cfg.vae.z_channels))
+        vae = PointVAE.from_config(cfg.vae)
+        vae_params = vae.init(rng, jnp.zeros((1, 1, 15, 64, 64)),
+                              jnp.zeros((1, K, 3)), rng)
+        vae_params = _restore(args.vae_ckpt, vae_params)
     lock = threading.Lock()
 
     def preprocess(img: np.ndarray) -> jnp.ndarray:
@@ -99,10 +151,21 @@ def build_pipeline(args):
             glb = f"pcd_{tag}.glb"
             save_pointcloud_ply(os.path.join(out_dir, ply), xyz)
             save_pointcloud_glb(os.path.join(out_dir, glb), xyz)
-            return {"stage1_ply": f"/assets/{ply}",
-                    "stage1_glb": f"/assets/{glb}",
-                    "n_points": int(xyz.shape[0]),
-                    "latency_s": round(time.time() - t0, 2)}
+            out = {"stage1_ply": f"/assets/{ply}",
+                   "stage1_glb": f"/assets/{glb}",
+                   "n_points": int(xyz.shape[0])}
+            if sampler2 is not None:
+                kl = sampler2(dit2_params, cond_params, x, key,
+                              xyz=jnp.asarray(xyz)[None])
+                lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
+                                 method=PointVAE.decode)
+                gply = f"gaussians_{tag}.ply"
+                save_2dgs_ply(os.path.join(out_dir, gply),
+                              np.asarray(lods[-1][0]))
+                out["gaussians_ply"] = f"/assets/{gply}"
+                out["n_gaussians"] = int(lods[-1].shape[1])
+            out["latency_s"] = round(time.time() - t0, 2)
+            return out
 
     return generate, cfg
 
@@ -119,7 +182,12 @@ INDEX_HTML = """<!doctype html><title>GaussianAnything-TPU</title>
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="demo-e2e")
+    p.add_argument("--release", action="store_true",
+                   help="official-checkpoint mode (npz from "
+                        "cli.import_release)")
     p.add_argument("--stage1-ckpt", default=None)
+    p.add_argument("--stage2-ckpt", default=None)
+    p.add_argument("--vae-ckpt", default=None)
     p.add_argument("--cond-ckpt", default=None)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--port", type=int, default=7860)
