@@ -147,7 +147,9 @@ def main(argv=None):
     for i in range(args.num):
         key = jax.random.fold_in(rng, i)
         xyz_n = sampler1(dit1_params, cond_params, cond_img, key)
-        xyz = np.asarray(xyz_n[0]) * XYZ_SCALE
+        # clip to the scene extent before stage-2 conditioning/export
+        # (`flow_matching_trainer.py:2131-2145` clips the stage-1 ply ±0.45)
+        xyz = np.clip(np.asarray(xyz_n[0]) * XYZ_SCALE, -0.45, 0.45)
         save_pointcloud_ply(os.path.join(args.out, f"stage1_{i}.ply"), xyz)
         save_pointcloud_glb(os.path.join(args.out, f"stage1_{i}.glb"), xyz)
         print(f"[{i}] stage-1 point cloud: {xyz.shape} "

@@ -144,7 +144,9 @@ def build_pipeline(args):
             x = preprocess(img)
             key = jax.random.PRNGKey(seed)
             xyz_n = sampler(dit_params, cond_params, x, key)
-            xyz = np.asarray(xyz_n[0]) * XYZ_SCALE
+            # scene-extent clip before stage-2 conditioning
+            # (`flow_matching_trainer.py:2131-2145`)
+            xyz = np.clip(np.asarray(xyz_n[0]) * XYZ_SCALE, -0.45, 0.45)
             os.makedirs(out_dir, exist_ok=True)
             tag = f"{int(time.time() * 1000) % 10**9}"
             ply = f"pcd_{tag}.ply"

@@ -36,6 +36,30 @@ def image_metrics(pred: jnp.ndarray, gt: jnp.ndarray) -> Dict[str, float]:
     }
 
 
+def geometry_metrics(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
+                     f_thresh: float = 0.02) -> Dict[str, float]:
+    """Point-cloud geometry evaluation: symmetric chamfer, Sinkhorn-EMD,
+    and F-score@thresh (fraction of points whose nearest neighbour in the
+    other cloud is within `f_thresh` world units — the standard 3D-gen
+    geometry metric; the reference's quantitative eval is an unreleased
+    TODO, so this extends it). pred/gt: (N, 3) / (M, 3) single clouds."""
+    from gaussiananything_tpu.ops.pointcloud import (chamfer_distance,
+                                                     sinkhorn_emd)
+    a = pred_xyz[None]
+    b = gt_xyz[None]
+    cd = float(chamfer_distance(a, b)[0])
+    emd = float(sinkhorn_emd(a, b)[0])
+    d2 = jnp.sum((pred_xyz[:, None, :] - gt_xyz[None, :, :]) ** 2, -1)
+    d_pred = jnp.sqrt(jnp.min(d2, axis=1))         # pred → gt
+    d_gt = jnp.sqrt(jnp.min(d2, axis=0))           # gt → pred
+    precision = float(jnp.mean(d_pred < f_thresh))
+    recall = float(jnp.mean(d_gt < f_thresh))
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {"chamfer": cd, "emd": emd, "precision": precision,
+            "recall": recall, "fscore": f1}
+
+
 def eval_novelview(model, params, batch, rng, lod_resolutions,
                    out_dir: Optional[str] = None, step: int = 0
                    ) -> Dict[str, float]:

@@ -95,6 +95,25 @@ class TestEvaluation:
         m2 = image_metrics(noisy, img)
         assert m2["psnr"] < m["psnr"]
 
+    def test_geometry_metrics(self):
+        from gaussiananything_tpu.train.evaluation import geometry_metrics
+        r = np.random.default_rng(3)
+        gt = jnp.asarray(r.uniform(-0.4, 0.4, (256, 3)), jnp.float32)
+        # identical clouds: perfect scores
+        m = geometry_metrics(gt, gt)
+        assert m["chamfer"] < 1e-6 and m["fscore"] == 1.0
+        assert m["precision"] == 1.0 and m["recall"] == 1.0
+        # small jitter within threshold: f-score stays 1, chamfer grows
+        jit = gt + jnp.asarray(r.normal(0, 0.003, (256, 3)), jnp.float32)
+        m2 = geometry_metrics(jit, gt, f_thresh=0.02)
+        assert m2["chamfer"] > m["chamfer"]
+        assert m2["fscore"] > 0.95
+        # a translated cloud beyond threshold: f-score collapses
+        far = gt + 0.2
+        m3 = geometry_metrics(far, gt, f_thresh=0.02)
+        assert m3["fscore"] < 0.2
+        assert m3["emd"] > m2["emd"]
+
     def test_eval_novelview(self, tmp_path):
         from gaussiananything_tpu.data.synthetic import make_batch
         from gaussiananything_tpu.models.vae import PointVAE
