@@ -177,8 +177,13 @@ def main(argv=None):
                            num_steps=fm1.num_steps, sampler=fm1.sampler)
             sampler2 = make_sampler(dit2, cond, fm2,
                                     latent_shape=(K, cfg.vae.z_channels))
+            # release stage-2 conditions on fps-xyz / 0.45 (PCD_Scaler,
+            # `sgm/modules/encoders/modules.py:1746-1768`, stage2-*.yaml);
+            # our own trained models use world units throughout
+            xyz_cond = jnp.asarray(xyz)[None] / (0.45 if args.release
+                                                 else 1.0)
             kl = sampler2(dit2_params, cond_params, cond_img, key,
-                          xyz=jnp.asarray(xyz)[None])
+                          xyz=xyz_cond)
 
             vae = PointVAE.from_config(
                 dataclasses.replace(cfg.vae, latent_num=K))

@@ -157,8 +157,11 @@ def build_pipeline(args):
                    "stage1_glb": f"/assets/{glb}",
                    "n_points": int(xyz.shape[0])}
             if sampler2 is not None:
+                # release stage-2 conditions on fps-xyz / 0.45 (PCD_Scaler)
+                xyz_cond = jnp.asarray(xyz)[None] / (0.45 if args.release
+                                                     else 1.0)
                 kl = sampler2(dit2_params, cond_params, x, key,
-                              xyz=jnp.asarray(xyz)[None])
+                              xyz=xyz_cond)
                 lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
                                  method=PointVAE.decode)
                 gply = f"gaussians_{tag}.ply"
