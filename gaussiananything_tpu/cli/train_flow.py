@@ -27,6 +27,10 @@ def main(argv=None):
                    help="npz latents from extract_latents")
     p.add_argument("--platform", default=None)
     p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="sample with EMA weights every N steps and export "
+                        "artifacts + geometry metrics (eval_cldm role, "
+                        "`nsr/lsgm/flow_matching_trainer.py:1011`); 0 = off")
     args = p.parse_args(argv)
 
     import jax
@@ -169,6 +173,34 @@ def main(argv=None):
                               extra_ema_decays=cfg.optim.extra_ema_decays)
     cstate = TrainState.create(replicate(mesh, cond_params), tx)
 
+    sampler = None
+
+    def run_eval(step: int):
+        """EMA sampling eval: stage-1 exports a .ply + chamfer/F-score vs
+        the batch's GT cloud; stage-2 logs latent moments."""
+        nonlocal sampler
+        if sampler is None:
+            from gaussiananything_tpu.train.fm_trainer import make_sampler
+            sampler = make_sampler(dit, cond, fm_cfg, latent_shape=(K, in_ch))
+        eb = next(it)
+        kw = {"xyz": eb["xyz"][:1]} if args.stage == 2 else {}
+        out = sampler(state.ema_params, cstate.ema_params, eb["cond"][:1],
+                      jax.random.fold_in(rng, 100_000 + step), **kw)
+        os.makedirs(os.path.join(logdir, "eval"), exist_ok=True)
+        if args.stage == 1:
+            from gaussiananything_tpu.render.ply_io import save_pointcloud_ply
+            from gaussiananything_tpu.train.evaluation import geometry_metrics
+            xyz = np.asarray(out[0]) * XYZ_SCALE
+            save_pointcloud_ply(
+                os.path.join(logdir, "eval", f"sample_{step}.ply"), xyz)
+            gm = geometry_metrics(jnp.asarray(xyz),
+                                  eb["latent"][0] * XYZ_SCALE)
+            for k, v in gm.items():
+                logger.logkv(f"eval_{k}", v)
+        else:
+            logger.logkv("eval_latent_std", float(jnp.std(out)))
+            logger.logkv("eval_latent_absmax", float(jnp.abs(out).max()))
+
     for i in range(cfg.optim.total_steps):
         batch = shard_batch(mesh, next(it))
         state, cstate, logs = step_fn(state, cstate, batch,
@@ -177,6 +209,8 @@ def main(argv=None):
             logger.logkv_mean(k, float(v))
         if (i + 1) % 20 == 0 or i == 0:
             logger.dumpkvs(i + 1)
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            run_eval(i + 1)
         if (i + 1) % args.save_every == 0:
             save_checkpoint(os.path.join(logdir, "ckpt"), state)
             save_checkpoint(os.path.join(logdir, "ckpt_cond"), cstate)

@@ -199,6 +199,15 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
 
     total += cfg.scale_reg_weight * L.scale_reg(lods[-1])
     total += cfg.opacity_reg_weight * L.opacity_reg(lods[-1])
+    # gaussian-statistics observability (the reference logs opacity/scale
+    # histograms to TB, `nsr/train_nv_util.py:2117-2128`; we log summary
+    # quantile stats CSV/TB-friendly)
+    op = lods[-1][..., 3]
+    sc = lods[-1][..., 4:6]
+    logs["opacity_mean"] = jnp.mean(op)
+    logs["opacity_p95"] = jnp.quantile(op, 0.95)
+    logs["scale_mean"] = jnp.mean(sc)
+    logs["scale_max"] = jnp.max(sc)
 
     if cfg.chamfer_weight > 0:
         cd = jnp.mean(chamfer_distance(lods[-1][..., :3], batch["pcd"]))
