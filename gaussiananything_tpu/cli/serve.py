@@ -121,21 +121,28 @@ def build_pipeline(args):
         vae_params = _restore(args.vae_ckpt, vae_params)
     lock = threading.Lock()
 
+    matting_params = None
+    if getattr(args, "matting_ckpt", None):
+        from gaussiananything_tpu.utils.param_io import load_params_npz
+        matting_params = {"params": load_params_npz(args.matting_ckpt)}
+
     def preprocess(img: np.ndarray) -> jnp.ndarray:
-        """Resize + simple white-background foreground handling (rembg
-        stand-in: corner-color chroma key, `utils/infer_utils.py:70`)."""
+        """The gradio app's preprocess (`scripts/gradio_app_cascaded.py:
+        214-226`): remove background (U²-Net matting when --matting-ckpt
+        is given, corner chroma key otherwise), crop + recenter the
+        foreground at ratio 0.85, white background, resize."""
         from PIL import Image
+
+        from gaussiananything_tpu.data.real import (remove_background,
+                                                    resize_foreground)
+        arr = np.asarray(Image.fromarray(img).convert("RGB"),
+                         np.float32) / 255.0
+        arr = remove_background(arr, matting_params=matting_params)
+        arr = resize_foreground(arr)
         s = cfg.dit.cond_img_size
-        im = Image.fromarray(img).convert("RGB").resize((s, s))
-        arr = np.asarray(im, np.float32) / 255.0
-        corner = np.median(
-            np.concatenate([arr[:5, :5].reshape(-1, 3),
-                            arr[:5, -5:].reshape(-1, 3),
-                            arr[-5:, :5].reshape(-1, 3),
-                            arr[-5:, -5:].reshape(-1, 3)]), axis=0)
-        dist = np.linalg.norm(arr - corner, axis=-1)
-        fg = (dist > 0.12)[..., None]
-        arr = arr * fg + (1 - fg) * 1.0     # white background
+        arr = np.asarray(
+            Image.fromarray((arr * 255).astype(np.uint8)).resize((s, s)),
+            np.float32) / 255.0
         return jnp.asarray(np.moveaxis(arr, -1, 0))[None]
 
     def generate(img: np.ndarray, seed: int, out_dir: str) -> dict:
@@ -194,6 +201,9 @@ def main(argv=None):
     p.add_argument("--stage2-ckpt", default=None)
     p.add_argument("--vae-ckpt", default=None)
     p.add_argument("--cond-ckpt", default=None)
+    p.add_argument("--matting-ckpt", default=None,
+                   help="imported U2Net npz for background removal (rembg "
+                        "role); corner chroma key otherwise")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--assets", default="/tmp/ga_serve_assets")
