@@ -27,6 +27,14 @@ def main(argv=None):
                    help="npz latents from extract_latents")
     p.add_argument("--platform", default=None)
     p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--freeze-cond", action="store_true",
+                   help="freeze the conditioner (the reference trains "
+                        "with frozen DINOv2/CLIP towers; use --cond-ckpt)")
+    p.add_argument("--cond-ckpt", default=None,
+                   help="initial conditioner weights (npz from "
+                        "cli.import_release, e.g. dinov2)")
+    p.add_argument("--dit-ckpt", default=None,
+                   help="warm-start DiT weights (npz or orbax)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="sample with EMA weights every N steps and export "
                         "artifacts + geometry metrics (eval_cldm role, "
@@ -148,6 +156,20 @@ def main(argv=None):
     dit_params = dit.init(rng, batch0["latent"],
                           jnp.zeros((cfg.optim.batch_size,)),
                           c0.crossattn, c0.vector, **init_kw)
+
+    def _warm(ckpt, params):
+        if not ckpt:
+            return params
+        if ckpt.endswith(".npz"):
+            from gaussiananything_tpu.utils.param_io import load_params_npz
+            return load_params_npz(ckpt, template=params)
+        from gaussiananything_tpu.train.state import restore_checkpoint
+        return restore_checkpoint(
+            ckpt, TrainState.create(params, make_optimizer(
+                TrainStateConfig()))).ema_params
+
+    cond_params = _warm(args.cond_ckpt, cond_params)
+    dit_params = _warm(args.dit_ckpt, dit_params)
     n_params = sum(x.size for x in jax.tree.leaves(dit_params))
     print(f"DiT params: {n_params/1e6:.2f}M")
 
@@ -167,7 +189,8 @@ def main(argv=None):
                               ema_decay=cfg.optim.ema_decay,
                               extra_ema_decays=cfg.optim.extra_ema_decays,
                               lr_mults=cfg.optim.lr_mults)
-    step_fn = make_fm_train_step(dit, cond, transport, fm_cfg, tx_cfg)
+    step_fn = make_fm_train_step(dit, cond, transport, fm_cfg, tx_cfg,
+                                 train_conditioner=not args.freeze_cond)
     tx = make_optimizer(tx_cfg)
     state = TrainState.create(replicate(mesh, dit_params), tx,
                               extra_ema_decays=cfg.optim.extra_ema_decays)
