@@ -59,6 +59,20 @@ class MetricLogger:
             self._csv_keys = list(row)
             with open(self._csv_path, "a") as f:
                 f.write(",".join(self._csv_keys) + "\n")
+        elif any(k not in self._csv_keys for k in row):
+            # new keys appeared (e.g. d_loss starts on the first d-step):
+            # rewrite the file with the extended header, back-filling blanks
+            # (baselines `CSVOutputFormat.writekvs`, guided_diffusion/
+            # logger.py:136-158)
+            self._csv_keys += [k for k in row if k not in self._csv_keys]
+            with open(self._csv_path) as f:
+                lines = f.readlines()[1:]
+            with open(self._csv_path, "w") as f:
+                f.write(",".join(self._csv_keys) + "\n")
+                for ln in lines:
+                    ln = ln.rstrip("\n")
+                    n = ln.count(",") + 1
+                    f.write(ln + "," * (len(self._csv_keys) - n) + "\n")
         with open(self._csv_path, "a") as f:
             f.write(",".join(str(row.get(k, "")) for k in self._csv_keys)
                     + "\n")

@@ -95,6 +95,24 @@ class TestEvaluation:
         m2 = image_metrics(noisy, img)
         assert m2["psnr"] < m["psnr"]
 
+    def test_csv_header_extends_on_new_keys(self, tmp_path):
+        """Keys that first appear mid-run (e.g. d_loss on the first
+        alternate discriminator step) must not be silently dropped: the
+        CSV is rewritten with the extended header, blanks back-filled."""
+        import csv
+
+        from gaussiananything_tpu.train.logging import MetricLogger
+        lg = MetricLogger(str(tmp_path), use_tensorboard=False)
+        lg.logkv("a", 1.0)
+        lg.dumpkvs(1)
+        lg.logkv("a", 2.0)
+        lg.logkv("d_loss", 5.0)
+        lg.dumpkvs(2)
+        rows = list(csv.DictReader(open(tmp_path / "progress.csv")))
+        assert rows[0]["d_loss"] == ""
+        assert rows[1]["d_loss"] == "5.0"
+        assert rows[1]["a"] == "2.0"
+
     def test_geometry_metrics(self):
         from gaussiananything_tpu.train.evaluation import geometry_metrics
         r = np.random.default_rng(3)
