@@ -18,10 +18,15 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=False, default=None,
-                   help="VAE checkpoint dir (omit for random-init demo)")
+                   help="VAE checkpoint: orbax dir or npz from "
+                        "cli.import_release (omit for random-init demo)")
     p.add_argument("--preset", default="demo-e2e")
     p.add_argument("--out", required=True)
     p.add_argument("--num", type=int, default=32)
+    p.add_argument("--data-dir", default=None,
+                   help="packed gbuffer npz dataset (data/gbuffer.py "
+                        "layout; see data/objaverse_raw.py for converting "
+                        "raw renders); synthetic scenes otherwise")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
 
@@ -48,12 +53,22 @@ def main(argv=None):
                     n_views_sup=1, res=cfg.data.resolution,
                     n_pts=cfg.data.n_points, n_splats=512)
     params = model.init(rng, b0["images_in"], b0["pcd"], rng)
-    if args.ckpt:
+    if args.ckpt and args.ckpt.endswith(".npz"):
+        from gaussiananything_tpu.utils.param_io import load_params_npz
+        params = load_params_npz(args.ckpt, template=params)
+    elif args.ckpt:
         tx = make_optimizer(TrainStateConfig())
         state = restore_checkpoint(args.ckpt, TrainState.create(params, tx))
         params = state.ema_params
 
     os.makedirs(args.out, exist_ok=True)
+
+    if args.data_dir:
+        from gaussiananything_tpu.data.gbuffer import MultiViewDataset
+        ds = MultiViewDataset(args.data_dir,
+                              n_views_in=cfg.data.n_views_in, n_views_sup=1,
+                              n_points=cfg.data.n_points,
+                              resolution=cfg.data.resolution)
 
     @jax.jit
     def encode(imgs, pcd, key):
@@ -62,10 +77,13 @@ def main(argv=None):
         return dist.sample(key), anchors
 
     for i in range(args.num):
-        b = make_batch(seed=1000 + i, batch=1,
-                       n_views_in=cfg.data.n_views_in, n_views_sup=1,
-                       res=cfg.data.resolution, n_pts=cfg.data.n_points,
-                       n_splats=512)
+        if args.data_dir:
+            b = ds.batch(1)
+        else:
+            b = make_batch(seed=1000 + i, batch=1,
+                           n_views_in=cfg.data.n_views_in, n_views_sup=1,
+                           res=cfg.data.resolution, n_pts=cfg.data.n_points,
+                           n_splats=512)
         z, anchors = encode(b["images_in"], b["pcd"],
                             jax.random.fold_in(rng, i))
         cond = jax.image.resize(
