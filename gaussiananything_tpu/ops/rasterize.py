@@ -377,7 +377,12 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
     feats = jnp.stack([data[16], data[17], data[18],
                        data[19], data[20], data[21],
                        jnp.ones_like(data[0])], axis=-1)    # (G, K, 7)
+    # precision=HIGHEST: at DEFAULT the TPU MXU rounds the *inputs* to bf16
+    # (rel. err up to 2^-8 ≈ 3.9e-3), which shows up as tiled-vs-oracle
+    # parity drift ~2.7e-3 and per-pixel alpha mass > 1. The contraction is
+    # tiny (C=7), so the extra MXU passes are noise in the frame time.
     acc = jnp.einsum("gpk,gkc->gpc", w, feats,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     s_w = acc[..., 6]
     depth_exp = state.depth_exp + jnp.sum(w * depth, axis=-1)
@@ -487,6 +492,7 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
                         data[19], data[20], data[21]], axis=-1)   # (G, K, 6)
     ct_acc6 = jnp.concatenate([ct.rgb, ct.normal], axis=-1)       # (G, P, 6)
     cw = jnp.einsum("gpc,gkc->gpk", ct_acc6, feats6,
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     cw = cw + ct_s_w[..., None] \
         + ct.depth_exp[..., None] * depth \
@@ -554,6 +560,7 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     ca2, cb2, cc2 = _abc(ct_p2)
 
     ct_feats = jnp.einsum("gpk,gpc->gkc", w, ct_acc6,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)     # (G, K, 6)
 
     ct_data = jnp.stack([
@@ -697,9 +704,17 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     # Lexicographic (tile, rank) co-sort carrying the splat id: one
     # variadic lax.sort instead of argsort + random gathers (the gathers
     # cost ~8× the sort itself on TPU). Keys are unique per live pair, so
-    # stability is unnecessary.
-    s_tile, _, s_splat = jax.lax.sort((flat_tile, flat_rank, flat_splat),
-                                      num_keys=2, is_stable=False)
+    # stability is unnecessary. When (tile, rank) fits 31 bits the two
+    # keys are packed into ONE int32 (tile<<17 | rank) — a single-key
+    # sort's comparator touches half the data of the 2-key one.
+    if n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17):
+        packed_key = (flat_tile << 17) | flat_rank
+        s_key, s_splat = jax.lax.sort((packed_key, flat_splat),
+                                      num_keys=1, is_stable=False)
+        s_tile = s_key >> 17
+    else:
+        s_tile, _, s_splat = jax.lax.sort((flat_tile, flat_rank, flat_splat),
+                                          num_keys=2, is_stable=False)
 
     # Per-tile offsets & counts: one searchsorted over the bucket boundaries
     # (bucket i spans [starts[i], starts[i+1]); n_tiles is the sentinel).

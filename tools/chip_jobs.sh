@@ -17,6 +17,7 @@ run() {
 }
 
 run bench        python bench.py
+run rtiming      python -m tools.rasterizer_timing
 run parity512    python -m tools.golden_parity_512
 run feasibility  python -m tools.release_feasibility --steps 3
 

@@ -1,0 +1,95 @@
+"""Rasterizer frame timing: forward, forward+backward, and phase split.
+
+One serialized TPU job that captures every BENCH_NOTES rasterizer number
+at the release shape (512², 73,728 splats): preprocess / binning /
+composite phase times, full fwd frame, and fwd+bwd via the hand-derived
+chunk VJP. Usage (strictly one TPU process at a time):
+
+    python -m tools.rasterizer_timing [--res 512] [--iters 20]
+
+Prints a small table; paste into BENCH_NOTES.md.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+
+def _arg(flag, default, cast=int):
+    return cast(sys.argv[sys.argv.index(flag) + 1]) \
+        if flag in sys.argv else default
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if "--platform" in sys.argv:
+        jax.config.update(
+            "jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+
+    from gaussiananything_tpu.data.synthetic import make_object
+    from gaussiananything_tpu.ops import rasterize as rz
+    from gaussiananything_tpu.render import cameras
+
+    res = _arg("--res", 512)
+    iters = _arg("--iters", 20)
+    n_splats = _arg("--splats", 73728)
+    tile = _arg("--tile", 16)
+    mpt = _arg("--mpt", 2048)
+    chunk = _arg("--chunk", 256)
+    group = _arg("--group", 16)
+
+    g = make_object(0, n=n_splats, kind="sphere")
+    poses = cameras.generate_input_camera(1.8, [(20, 45)])
+    cam = cameras.pose_to_gs_camera(jnp.asarray(poses[0]))
+    args = (g, cam["cam_view"], cam["cam_view_proj"], cam["tanfov"])
+    bg = jnp.ones(3)
+    print(f"device={jax.devices()[0]} res={res} N={n_splats} "
+          f"tile={tile} mpt={mpt} chunk={chunk} group={group}", flush=True)
+
+    def timed(name, fn, *a):
+        out = fn(*a)                       # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name:>28}: {dt*1e3:8.2f} ms", flush=True)
+        return dt, out
+
+    # -- phases ------------------------------------------------------------
+    pre = jax.jit(lambda g_, cv, cvp, tf: rz.preprocess_splats(
+        g_, cv, cvp, res, res, tf))
+    _, sp = timed("preprocess", pre, *args)
+
+    binf = jax.jit(lambda s: rz.build_tile_pairs(s, res, res, tile, mpt))
+    timed("binning (build_tile_pairs)", binf, sp)
+
+    # -- full forward --------------------------------------------------------
+    fwd = jax.jit(lambda *a: rz.rasterize_tiled(
+        *a, bg, res, res, tile=tile, max_per_tile=mpt, chunk=chunk,
+        tile_group=group))
+    t_fwd, out = timed("forward frame", fwd, *args)
+    rays = res * res / t_fwd
+    print(f"{'forward rays/s':>28}: {rays/1e6:8.2f} M", flush=True)
+    assert bool(jnp.isfinite(out["image"]).all())
+
+    # -- forward + backward ---------------------------------------------------
+    def loss(g_, cv, cvp, tf):
+        o = rz.rasterize_tiled(g_, cv, cvp, tf, bg, res, res, tile=tile,
+                               max_per_tile=mpt, chunk=chunk,
+                               tile_group=group)
+        return (o["image"].sum() + o["alpha"].sum() + o["dist"].sum()
+                + o["normal_view"].sum() + o["depth_expected"].sum())
+
+    grad = jax.jit(jax.grad(loss))
+    t_fb, gout = timed("forward+backward", grad, *args)
+    assert bool(jnp.isfinite(gout).all())
+    print(f"{'bwd/fwd ratio':>28}: {max(t_fb - t_fwd, 0.0)/t_fwd:8.2f}x "
+          f"(fwd+bwd {t_fb*1e3:.1f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
