@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--platform", default=None)
     p.add_argument("--mesh", action="store_true", help="TSDF mesh export")
+    p.add_argument("--full", action="store_true",
+                   help="run the full stage-2 + VAE-decode + render cascade "
+                        "even without checkpoints (random init — identical "
+                        "compute; used for latency benchmarking)")
     p.add_argument("--image-dir", default=None,
                    help="folder of real conditioning images (i23d)")
     p.add_argument("--text", default=None,
@@ -80,7 +84,9 @@ def main(argv=None):
                                     decoder_depth=12, decoder_heads=12,
                                     up_factors=(8, 4, 3),
                                     up_depths=(2, 1, 1),
-                                    release_parity=True))
+                                    release_parity=True),
+            render=dataclasses.replace(cfg.render, output_size=512,
+                                       max_per_tile=2048, chunk=256))
     os.makedirs(args.out, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     tx = make_optimizer(TrainStateConfig())
@@ -144,9 +150,20 @@ def main(argv=None):
                    sampler=cfg.transport.sampler)
     sampler1 = make_sampler(dit1, cond, fm1, latent_shape=(K, 3))
 
+    import time as _time
+
+    def _mark(label, t0, *sync):
+        for x in sync:
+            jax.block_until_ready(x)
+        t1 = _time.perf_counter()
+        print(f"    [t] {label}: {t1 - t0:.2f}s", flush=True)
+        return t1
+
     for i in range(args.num):
         key = jax.random.fold_in(rng, i)
+        t0 = _time.perf_counter()
         xyz_n = sampler1(dit1_params, cond_params, cond_img, key)
+        t0 = _mark("stage-1 sample", t0, xyz_n)
         # clip to the scene extent before stage-2 conditioning/export
         # (`flow_matching_trainer.py:2131-2145` clips the stage-1 ply ±0.45)
         xyz = np.clip(np.asarray(xyz_n[0]) * XYZ_SCALE, -0.45, 0.45)
@@ -155,7 +172,7 @@ def main(argv=None):
         print(f"[{i}] stage-1 point cloud: {xyz.shape} "
               f"range {xyz.min():.3f}..{xyz.max():.3f}")
 
-        if args.stage2_ckpt or args.vae_ckpt:
+        if args.stage2_ckpt or args.vae_ckpt or args.full:
             if args.release:
                 from gaussiananything_tpu.models.dit import \
                     stage2_dit_release
@@ -182,8 +199,10 @@ def main(argv=None):
             # our own trained models use world units throughout
             xyz_cond = jnp.asarray(xyz)[None] / (0.45 if args.release
                                                  else 1.0)
+            t0 = _time.perf_counter()
             kl = sampler2(dit2_params, cond_params, cond_img, key,
                           xyz=xyz_cond)
+            t0 = _mark("stage-2 sample", t0, kl)
 
             vae = PointVAE.from_config(
                 dataclasses.replace(cfg.vae, latent_num=K))
@@ -199,9 +218,11 @@ def main(argv=None):
                                 n_pts=cfg.data.n_points, n_splats=512)
                 vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
             vae_params = _restore(args.vae_ckpt, vae_params)
+            t0 = _time.perf_counter()
             lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
                              method=vae.decode)
             fin = lods[-1]
+            t0 = _mark("VAE cascade decode", t0, fin)
             from gaussiananything_tpu.render.ply_io import save_2dgs_ply
             save_2dgs_ply(os.path.join(args.out, f"gaussians_{i}.ply"),
                           np.asarray(fin[0]))
@@ -214,6 +235,7 @@ def main(argv=None):
                 jnp.ones((1, 8, 3)), cfg.render.output_size,
                 tile=16, max_per_tile=cfg.render.max_per_tile,
                 chunk=cfg.render.chunk, tile_group=16)
+            t0 = _mark("8-view turntable render", t0, out["image"])
             from PIL import Image
             strip = np.concatenate(
                 [np.moveaxis(np.asarray(v), 0, -1)
@@ -223,9 +245,11 @@ def main(argv=None):
             if args.mesh:
                 from gaussiananything_tpu.render.tsdf import \
                     export_mesh_from_gaussians
+                t0 = _time.perf_counter()
                 export_mesh_from_gaussians(
                     os.path.join(args.out, f"mesh_{i}.glb"), fin[0],
                     resolution=cfg.render.output_size // 2)
+                _mark("TSDF fuse + surface nets", t0)
     print("done")
 
 

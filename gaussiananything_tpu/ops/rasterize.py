@@ -584,7 +584,7 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
 
 def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
                      max_per_tile: int, row0=0,
-                     big_capacity: int = 0
+                     big_capacity: int = 0, packed_key=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Bin splats into a tile-sorted, depth-ordered flat pair array.
 
@@ -707,7 +707,12 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     # stability is unnecessary. When (tile, rank) fits 31 bits the two
     # keys are packed into ONE int32 (tile<<17 | rank) — a single-key
     # sort's comparator touches half the data of the 2-key one.
-    if n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17):
+    # `packed_key=None` → auto by shape; bool forces a path (tests assert
+    # both produce identical bins).
+    if packed_key is None:
+        packed_key = n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17)
+    if packed_key:
+        assert n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17)
         packed_key = (flat_tile << 17) | flat_rank
         s_key, s_splat = jax.lax.sort((packed_key, flat_splat),
                                       num_keys=1, is_stable=False)

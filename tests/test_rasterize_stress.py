@@ -262,3 +262,29 @@ class TestAllmapContract:
                            tile_group=4)
         assert float(out["depth_median"][32, 32]) == pytest.approx(2.1,
                                                                    abs=0.01)
+
+
+class TestSortKeyPaths:
+    """The packed single-int32 (tile<<17 | rank) sort key and the 2-key
+    lexicographic fallback must bin identically (same pairs/starts/counts)
+    — the fallback only engages at N > 2^17 or > 16k tiles, so force both
+    paths explicitly on a mixed small/big-footprint scene."""
+
+    def test_packed_vs_two_key_identical(self):
+        cam = make_camera(10, 40)
+        g = make_splats(512, seed=11, scale=0.12, spread=0.3)  # mixed spans
+        H, tile = 128, 16
+        sp = rz.preprocess_splats(g, cam["cam_view"], cam["cam_view_proj"],
+                                  H, H, cam["tanfov"])
+        p1, s1, c1 = rz.build_tile_pairs(sp, H, H, tile, 256,
+                                         packed_key=True)
+        p2, s2, c2 = rz.build_tile_pairs(sp, H, H, tile, 256,
+                                         packed_key=False)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        # compare only live slots (dead tail may hold different sentinels)
+        starts, counts = np.asarray(s1), np.asarray(c1)
+        for t in range(starts.shape[0]):
+            a = np.asarray(p1)[starts[t]:starts[t] + counts[t]]
+            b = np.asarray(p2)[starts[t]:starts[t] + counts[t]]
+            np.testing.assert_array_equal(a, b)

@@ -20,5 +20,7 @@ run bench        python bench.py
 run rtiming      python -m tools.rasterizer_timing
 run parity512    python -m tools.golden_parity_512
 run feasibility  python -m tools.release_feasibility --steps 3
+run cascade      python -m gaussiananything_tpu.cli.sample --release --full \
+                   --mesh --num 2 --out /tmp/cascade_r2b
 
 echo "=== done; logs in $OUT ==="

@@ -76,6 +76,16 @@ def main():
     print(f"{'forward rays/s':>28}: {rays/1e6:8.2f} M", flush=True)
     assert bool(jnp.isfinite(out["image"]).all())
 
+    # -- config sweep (fwd only) ---------------------------------------------
+    if "--sweep" in sys.argv:
+        for tl, ck, gr in ((16, 256, 16), (16, 128, 16), (16, 256, 8),
+                           (16, 128, 32), (8, 128, 32), (8, 256, 64)):
+            f = jax.jit(lambda *a, tl=tl, ck=ck, gr=gr: rz.rasterize_tiled(
+                *a, bg, res, res, tile=tl, max_per_tile=mpt, chunk=ck,
+                tile_group=gr))
+            t, _ = timed(f"fwd tile={tl} chunk={ck} G={gr}", f, *args)
+            print(f"{'rays/s':>28}: {res*res/t/1e6:8.2f} M", flush=True)
+
     # -- forward + backward ---------------------------------------------------
     def loss(g_, cv, cvp, tf):
         o = rz.rasterize_tiled(g_, cv, cvp, tf, bg, res, res, tile=tile,
