@@ -40,6 +40,12 @@ def main(argv=None):
                    help="run the full stage-2 + VAE-decode + render cascade "
                         "even without checkpoints (random init — identical "
                         "compute; used for latency benchmarking)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 inference: cast DiT/conditioner/VAE params + "
+                        "activations to bfloat16 (halves HBM weight traffic "
+                        "— the sampling bottleneck at DiT-L size; training "
+                        "keeps fp32 master params, this is sampling-only). "
+                        "Rasterizer compositing stays fp32.")
     p.add_argument("--image-dir", default=None,
                    help="folder of real conditioning images (i23d)")
     p.add_argument("--text", default=None,
@@ -91,7 +97,15 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     tx = make_optimizer(TrainStateConfig())
 
-    dtype = compute_dtype(cfg.dit.compute_dtype)
+    dtype = compute_dtype("bfloat16" if args.bf16 else cfg.dit.compute_dtype)
+
+    def _cast(params):
+        """Sampling-only bf16 param cast (keeps integer/bool leaves)."""
+        if not args.bf16:
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
     if args.release:
         from gaussiananything_tpu.models.dit import stage1_dit_release
         dit1 = stage1_dit_release(dtype=dtype)
@@ -141,8 +155,8 @@ def main(argv=None):
         st = restore_checkpoint(ckpt, TrainState.create(params, tx))
         return st.ema_params
 
-    dit1_params = _restore(args.stage1_ckpt, dit1_params)
-    cond_params = _restore(args.stage1_cond_ckpt, cond_params)
+    dit1_params = _cast(_restore(args.stage1_ckpt, dit1_params))
+    cond_params = _cast(_restore(args.stage1_cond_ckpt, cond_params))
 
     fm1 = FMConfig(stage=1,
                    cfg_scale=args.cfg_scale or cfg.transport.cfg_scale,
@@ -189,7 +203,7 @@ def main(argv=None):
                 cond.apply(cond_params, cond_img).crossattn,
                 cond.apply(cond_params, cond_img).vector,
                 jnp.asarray(xyz)[None])
-            dit2_params = _restore(args.stage2_ckpt, dit2_params)
+            dit2_params = _cast(_restore(args.stage2_ckpt, dit2_params))
             fm2 = FMConfig(stage=2, cfg_scale=fm1.cfg_scale,
                            num_steps=fm1.num_steps, sampler=fm1.sampler)
             sampler2 = make_sampler(dit2, cond, fm2,

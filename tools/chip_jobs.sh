@@ -22,5 +22,7 @@ run parity512    python -m tools.golden_parity_512
 run feasibility  python -m tools.release_feasibility --steps 3
 run cascade      python -m gaussiananything_tpu.cli.sample --release --full \
                    --mesh --num 2 --out /tmp/cascade_r2b
+run cascadebf16  python -m gaussiananything_tpu.cli.sample --release --full \
+                   --mesh --bf16 --num 2 --out /tmp/cascade_r2b_bf16
 
 echo "=== done; logs in $OUT ==="
