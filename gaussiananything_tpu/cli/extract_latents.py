@@ -36,7 +36,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from gaussiananything_tpu.config import compute_dtype, preset
+    from gaussiananything_tpu.config import preset
     from gaussiananything_tpu.data.synthetic import make_batch
     from gaussiananything_tpu.models.vae import PointVAE
     from gaussiananything_tpu.train.fm_trainer import XYZ_SCALE

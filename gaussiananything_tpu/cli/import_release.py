@@ -111,12 +111,19 @@ def main(argv=None):
         model = dinov2_vitl14_reg()
         tpl = model.init(rng, jnp.zeros((1, 3, 518, 518)))
         params = param_io.convert_dinov2(sd, tpl)
+        # nest under the ImageConditioner's submodule name so the npz
+        # restores directly against the documented consumers
+        # (sample --stage1-cond-ckpt / serve --cond-ckpt / train_flow
+        # --cond-ckpt, all of which template on ImageConditioner).
+        params = {"params": {"vit": params["params"]}}
     elif args.kind == "clip-text":
         from gaussiananything_tpu.models.openclip_text import (
             OpenClipTextTower)
         model = OpenClipTextTower()
         tpl = model.init(rng, jnp.zeros((1, 77), jnp.int32))
         params = param_io.convert_openclip_text(sd, tpl)
+        # nest under TextConditioner's submodule name (see dinov2 above)
+        params = {"params": {"text": params["params"]}}
     elif args.kind == "lpips-vgg":
         from gaussiananything_tpu.train.losses import init_lpips_template
         tpl = init_lpips_template()

@@ -93,6 +93,11 @@ def main(argv=None):
                                     release_parity=True),
             render=dataclasses.replace(cfg.render, output_size=512,
                                        max_per_tile=2048, chunk=256))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg,
+            dit=dataclasses.replace(cfg.dit, compute_dtype="bfloat16"),
+            vae=dataclasses.replace(cfg.vae, compute_dtype="bfloat16"))
     os.makedirs(args.out, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     tx = make_optimizer(TrainStateConfig())
@@ -173,6 +178,43 @@ def main(argv=None):
         print(f"    [t] {label}: {t1 - t0:.2f}s", flush=True)
         return t1
 
+    # ---- stage-2 / VAE construction (once, reused across samples) --------
+    run_stage2 = args.stage2_ckpt or args.vae_ckpt or args.full
+    if run_stage2:
+        if args.release:
+            from gaussiananything_tpu.models.dit import stage2_dit_release
+            dit2 = stage2_dit_release(dtype=dtype)
+        else:
+            dit2 = stage2_dit(cfg.dit.size, z_channels=cfg.vae.z_channels,
+                              cond_dim=cfg.dit.cond_width,
+                              vector_dim=cfg.dit.cond_width, dtype=dtype)
+        z0 = jnp.zeros((1, K, cfg.vae.z_channels))
+        dit2_params = dit2.init(rng, z0, jnp.zeros((1,)), c0.crossattn,
+                                c0.vector, jnp.zeros((1, K, 3)))
+        dit2_params = _cast(_restore(args.stage2_ckpt, dit2_params))
+        cond2_params = (_cast(_restore(args.stage2_cond_ckpt, cond_params))
+                        if args.stage2_cond_ckpt else cond_params)
+        fm2 = FMConfig(stage=2,
+                       cfg_scale=args.cfg_scale or cfg.transport.cfg_scale,
+                       num_steps=args.steps or cfg.transport.num_steps,
+                       sampler=cfg.transport.sampler)
+        sampler2 = make_sampler(dit2, cond, fm2,
+                                latent_shape=(K, cfg.vae.z_channels))
+
+        vae = PointVAE.from_config(dataclasses.replace(cfg.vae,
+                                                       latent_num=K))
+        if args.release:
+            # decode-only path: init template at minimal shapes
+            vae_params = vae.init(rng, jnp.zeros((1, 1, 15, 64, 64)),
+                                  jnp.zeros((1, K, 3)), rng)
+        else:
+            from gaussiananything_tpu.data.synthetic import make_batch
+            b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
+                            n_views_sup=1, res=cfg.data.resolution,
+                            n_pts=cfg.data.n_points, n_splats=512)
+            vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
+        vae_params = _restore(args.vae_ckpt, vae_params)
+
     for i in range(args.num):
         key = jax.random.fold_in(rng, i)
         t0 = _time.perf_counter()
@@ -186,52 +228,17 @@ def main(argv=None):
         print(f"[{i}] stage-1 point cloud: {xyz.shape} "
               f"range {xyz.min():.3f}..{xyz.max():.3f}")
 
-        if args.stage2_ckpt or args.vae_ckpt or args.full:
-            if args.release:
-                from gaussiananything_tpu.models.dit import \
-                    stage2_dit_release
-                dit2 = stage2_dit_release(dtype=dtype)
-            else:
-                dit2 = stage2_dit(cfg.dit.size,
-                                  z_channels=cfg.vae.z_channels,
-                                  cond_dim=cfg.dit.cond_width,
-                                  vector_dim=cfg.dit.cond_width,
-                                  dtype=dtype)
-            z0 = jnp.zeros((1, K, cfg.vae.z_channels))
-            dit2_params = dit2.init(
-                rng, z0, jnp.zeros((1,)),
-                cond.apply(cond_params, cond_img).crossattn,
-                cond.apply(cond_params, cond_img).vector,
-                jnp.asarray(xyz)[None])
-            dit2_params = _cast(_restore(args.stage2_ckpt, dit2_params))
-            fm2 = FMConfig(stage=2, cfg_scale=fm1.cfg_scale,
-                           num_steps=fm1.num_steps, sampler=fm1.sampler)
-            sampler2 = make_sampler(dit2, cond, fm2,
-                                    latent_shape=(K, cfg.vae.z_channels))
+        if run_stage2:
             # release stage-2 conditions on fps-xyz / 0.45 (PCD_Scaler,
             # `sgm/modules/encoders/modules.py:1746-1768`, stage2-*.yaml);
             # our own trained models use world units throughout
             xyz_cond = jnp.asarray(xyz)[None] / (0.45 if args.release
                                                  else 1.0)
             t0 = _time.perf_counter()
-            kl = sampler2(dit2_params, cond_params, cond_img, key,
+            kl = sampler2(dit2_params, cond2_params, cond_img, key,
                           xyz=xyz_cond)
             t0 = _mark("stage-2 sample", t0, kl)
 
-            vae = PointVAE.from_config(
-                dataclasses.replace(cfg.vae, latent_num=K))
-            if args.release:
-                # decode-only path: init template at minimal shapes
-                vae_params = vae.init(rng, jnp.zeros((1, 1, 15, 64, 64)),
-                                      jnp.zeros((1, K, 3)), rng)
-            else:
-                from gaussiananything_tpu.data.synthetic import make_batch
-                b0 = make_batch(seed=0, batch=1,
-                                n_views_in=cfg.data.n_views_in,
-                                n_views_sup=1, res=cfg.data.resolution,
-                                n_pts=cfg.data.n_points, n_splats=512)
-                vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
-            vae_params = _restore(args.vae_ckpt, vae_params)
             t0 = _time.perf_counter()
             lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
                              method=vae.decode)

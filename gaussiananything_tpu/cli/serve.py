@@ -123,8 +123,12 @@ def build_pipeline(args):
 
     matting_params = None
     if getattr(args, "matting_ckpt", None):
-        from gaussiananything_tpu.utils.param_io import load_params_npz
-        matting_params = {"params": load_params_npz(args.matting_ckpt)}
+        from gaussiananything_tpu.utils.param_io import (as_variables,
+                                                         load_params_npz)
+        # converter npz files are saved already wrapped as {"params": ...};
+        # as_variables tolerates both (a blind wrap double-nests and flax
+        # apply rejects the structure)
+        matting_params = as_variables(load_params_npz(args.matting_ckpt))
 
     def preprocess(img: np.ndarray) -> jnp.ndarray:
         """The gradio app's preprocess (`scripts/gradio_app_cascaded.py:

@@ -43,7 +43,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from gaussiananything_tpu.config import RunConfig, compute_dtype, preset
+    from gaussiananything_tpu.config import RunConfig, preset
     from gaussiananything_tpu.data.synthetic import make_batch
     from gaussiananything_tpu.models.vae import PointVAE
     from gaussiananything_tpu.parallel.mesh import (make_mesh, replicate,

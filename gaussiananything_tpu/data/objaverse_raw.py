@@ -261,9 +261,9 @@ def read_dnormal(normald_path, cond_pos: np.ndarray,
     depth = np.where(depth < near_distance, 0.0, depth)
     if h is not None:
         assert w is not None
-        if depth.shape[1] != h:
+        if depth.shape[:2] != (h, w):
             depth = _resize_nearest(depth, h, w)
-        if normal.shape[1] != h:
+        if normal.shape[:2] != (h, w):
             normal = _resize_nearest(normal, h, w)
     return depth.astype(np.float32), normal.astype(np.float32)
 

@@ -71,8 +71,9 @@ class RealImageDataset:
         self.remove_bg = remove_bg
         self.matting_params = None
         if matting_npz:
-            from gaussiananything_tpu.utils.param_io import load_params_npz
-            self.matting_params = {"params": load_params_npz(matting_npz)}
+            from gaussiananything_tpu.utils.param_io import (as_variables,
+                                                             load_params_npz)
+            self.matting_params = as_variables(load_params_npz(matting_npz))
 
     def __len__(self):
         return len(self.paths)

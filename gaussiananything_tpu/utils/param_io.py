@@ -118,9 +118,29 @@ def dinov2_name_map(torch_name: str) -> Optional[str]:
     raise KeyError(f"unrecognised dinov2 param {torch_name}")
 
 
+def as_variables(params: Any) -> Any:
+    """Normalise a param tree to the flax variables form `{"params": ...}`.
+
+    `load_params_npz` round-trips whatever was saved — converter outputs
+    are already wrapped, raw trees are not — so consumers applying modules
+    must normalise instead of blindly wrapping (a double `{"params":
+    {"params": ...}}` fails flax's apply with an invalid-structure error).
+    """
+    if isinstance(params, dict) and set(params) == {"params"}:
+        return params
+    return {"params": params}
+
+
 def convert_dinov2(state_dict: Dict[str, "np.ndarray"], template: Any) -> Any:
-    """DINOv2 torch-hub checkpoint → `models/dinov2.Dinov2ViT` params."""
-    return import_torch_state_dict(state_dict, dinov2_name_map, template)
+    """DINOv2 torch-hub checkpoint → `models/dinov2.Dinov2ViT` params.
+
+    Accepts either the bare param tree or the `{"params": ...}` variables
+    dict as template; returns the same shape.
+    """
+    wrapped = isinstance(template, dict) and set(template) == {"params"}
+    inner = template["params"] if wrapped else template
+    out = import_torch_state_dict(state_dict, dinov2_name_map, inner)
+    return {"params": out} if wrapped else out
 
 
 def openclip_text_name_map(torch_name: str) -> Optional[str]:
@@ -166,9 +186,12 @@ def openclip_text_name_map(torch_name: str) -> Optional[str]:
 
 def convert_openclip_text(state_dict: Dict[str, "np.ndarray"],
                           template: Any) -> Any:
-    return import_torch_state_dict(state_dict, openclip_text_name_map,
-                                   template,
-                                   verbatim={"text_projection"})
+    """Accepts bare tree or `{"params": ...}` template (see convert_dinov2)."""
+    wrapped = isinstance(template, dict) and set(template) == {"params"}
+    inner = template["params"] if wrapped else template
+    out = import_torch_state_dict(state_dict, openclip_text_name_map, inner,
+                                  verbatim={"text_projection"})
+    return {"params": out} if wrapped else out
 
 
 def lpips_vgg_name_map(torch_name: str) -> Optional[str]:

@@ -277,3 +277,57 @@ class TestConditionerBackbones:
         out = m.apply(params, ids)
         assert out.crossattn.shape == (2, TLEN, TD)
         assert out.vector.shape == (2, TD)
+
+
+class TestImportedConditionerRoundTrip:
+    """cli.import_release seam: the converted npz must restore against the
+    documented consumer templates (sample --stage1-cond-ckpt / serve
+    --cond-ckpt template on ImageConditioner, which nests the backbone
+    under params/vit). Regression for two round-2 bugs: convert_dinov2
+    crashing on the wrapped `{"params": ...}` template the CLI passes, and
+    the npz holding a bare backbone tree no consumer could load."""
+
+    def test_wrapped_template_accepted(self):
+        sd = synth_dinov2_state_dict(np.random.default_rng(3))
+        model = Dinov2ViT(patch=PATCH, width=D, depth=DEPTH, heads=HEADS,
+                          num_registers=4, img_size=IMG)
+        tpl = model.init(jax.random.key(0), jnp.zeros((1, 3, IMG, IMG)))
+        wrapped = param_io.convert_dinov2(sd, tpl)          # variables dict
+        bare = param_io.convert_dinov2(sd, tpl["params"])
+        assert set(wrapped) == {"params"}
+        for a, b in zip(jax.tree.leaves(wrapped["params"]),
+                        jax.tree.leaves(bare)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_npz_restores_into_image_conditioner(self, tmp_path):
+        from gaussiananything_tpu.models.conditioner import ImageConditioner
+        sd = synth_dinov2_state_dict(np.random.default_rng(4))
+        model = Dinov2ViT(patch=PATCH, width=D, depth=DEPTH, heads=HEADS,
+                          num_registers=4, img_size=IMG)
+        tpl = model.init(jax.random.key(0), jnp.zeros((1, 3, IMG, IMG)))
+        converted = param_io.convert_dinov2(sd, tpl)
+        # the import_release nesting contract
+        nested = {"params": {"vit": converted["params"]}}
+        path = str(tmp_path / "dinov2.npz")
+        param_io.save_params_npz(path, nested)
+
+        cond = ImageConditioner(width=D, depth=DEPTH, heads=HEADS,
+                                img_size=IMG, backbone="dinov2")
+        imgs = jnp.asarray(np.random.default_rng(5).standard_normal(
+            (1, 3, IMG, IMG)).astype(np.float32))
+        cond_tpl = cond.init(jax.random.key(1), imgs)
+        restored = param_io.load_params_npz(path, template=cond_tpl)
+        out = cond.apply(restored, imgs)
+        assert np.isfinite(np.asarray(out.crossattn)).all()
+        assert np.isfinite(np.asarray(out.vector)).all()
+        # the restored conditioner computes the converted backbone, not init
+        init_out = cond.apply(cond_tpl, imgs)
+        assert not np.allclose(np.asarray(out.vector),
+                               np.asarray(init_out.vector))
+
+
+class TestAsVariables:
+    def test_idempotent_wrap(self):
+        tree = {"a": np.zeros(3)}
+        assert param_io.as_variables(tree) == {"params": tree}
+        assert param_io.as_variables({"params": tree}) == {"params": tree}
