@@ -77,7 +77,10 @@ class GaussianDiffusion(NamedTuple):
                     eta: float = 0.0, **kwargs) -> jnp.ndarray:
         """DDIM with respaced timesteps (parity `respace.py` + ddim loop)."""
         ts = jnp.linspace(self.T - 1, 0, num_steps).round().astype(jnp.int32)
-        x = jax.random.normal(rng, shape)
+        # split: drawing x from rng and carrying the same key into the scan
+        # correlates the initial latent with the first ancestral noise
+        rng_init, rng_loop = jax.random.split(rng)
+        x = jax.random.normal(rng_init, shape)
 
         def step(carry, i):
             x, key = carry
@@ -100,13 +103,14 @@ class GaussianDiffusion(NamedTuple):
                 t_next >= 0)
             return (x, key), None
 
-        (x, _), _ = jax.lax.scan(step, (x, rng), jnp.arange(num_steps))
+        (x, _), _ = jax.lax.scan(step, (x, rng_loop), jnp.arange(num_steps))
         return x
 
     def ddpm_sample(self, model: Callable, rng, shape, **kwargs
                     ) -> jnp.ndarray:
         """Full-T ancestral sampling."""
-        x = jax.random.normal(rng, shape)
+        rng_init, rng_loop = jax.random.split(rng)
+        x = jax.random.normal(rng_init, shape)
         alphas = 1.0 - self.betas
         acum_prev = jnp.concatenate([jnp.ones(1), self.alphas_cum[:-1]])
 
@@ -128,7 +132,7 @@ class GaussianDiffusion(NamedTuple):
             x = mean + jnp.sqrt(jnp.maximum(var, 1e-20)) * noise * (t > 0)
             return (x, key), None
 
-        (x, _), _ = jax.lax.scan(step, (x, rng), jnp.arange(self.T))
+        (x, _), _ = jax.lax.scan(step, (x, rng_loop), jnp.arange(self.T))
         return x
 
 

@@ -68,24 +68,26 @@ def chamfer_distance(a: jnp.ndarray, b: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("iters",))
 def sinkhorn_emd(a: jnp.ndarray, b: jnp.ndarray, eps: float = 0.05,
                  iters: int = 200) -> jnp.ndarray:
-    """Entropic-regularised EMD between equal-size point sets.
+    """Entropic-regularised EMD between (possibly different-size) point sets.
 
     Replaces the reference's auction-algorithm CUDA EMD with a fixed-iteration
-    Sinkhorn loop (log-domain, jit/scan-friendly). a, b: (..., N, 3);
-    returns the transport cost per batch element.
+    Sinkhorn loop (log-domain, jit/scan-friendly). a: (..., N, 3),
+    b: (..., M, 3) with uniform marginals 1/N and 1/M; returns the
+    transport cost per batch element.
     """
 
     def _single(x, y):
-        n = x.shape[0]
-        C = _sq_dists(x, y)
+        n, m = x.shape[0], y.shape[0]
+        C = _sq_dists(x, y)                                   # (n, m)
         log_mu = jnp.full((n,), -jnp.log(n))
+        log_nu = jnp.full((m,), -jnp.log(m))
         f = jnp.zeros((n,))
-        g = jnp.zeros((n,))
+        g = jnp.zeros((m,))
 
         def body(carry, _):
             f, g = carry
             f = eps * (log_mu - jax.nn.logsumexp((g[None, :] - C) / eps, axis=1))
-            g = eps * (log_mu - jax.nn.logsumexp((f[:, None] - C) / eps, axis=0))
+            g = eps * (log_nu - jax.nn.logsumexp((f[:, None] - C) / eps, axis=0))
             return (f, g), None
 
         (f, g), _ = jax.lax.scan(body, (f, g), None, length=iters)

@@ -95,8 +95,15 @@ def eval_novelview(model, params, batch, rng, lod_resolutions,
             strip = np.concatenate(
                 [np.moveaxis(v, 0, -1) for v in img], axis=1)
             if strip.shape[0] != lod_resolutions[-1]:
-                reps = lod_resolutions[-1] // strip.shape[0]
-                strip = np.kron(strip, np.ones((reps, reps, 1)))
+                # nearest-neighbour upscale to the finest row size; index
+                # gather handles NON-integer ratios (the release ladder's
+                # 384→512 is 4/3 — integer kron produced mismatched row
+                # widths and crashed the concatenate)
+                H = lod_resolutions[-1]
+                W = strip.shape[1] * H // strip.shape[0]
+                yi = (np.arange(H) * strip.shape[0]) // H
+                xi = (np.arange(W) * strip.shape[1]) // W
+                strip = strip[yi][:, xi]
             rows.append(strip)
         gt_img = np.asarray(_resize_to(batch["images_sup"],
                                        lod_resolutions[-1])[0])

@@ -75,10 +75,18 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
                 lambda xt, t: velocity(xt, t), rng_t, x1)
             return l, aux
 
-        (l, aux), grads = jax.value_and_grad(
-            loss, argnums=(0, 1), has_aux=True)(
-                state.params, cond_state.params)
-        g_dit, g_cond = grads
+        if train_conditioner:
+            (l, aux), grads = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(
+                    state.params, cond_state.params)
+            g_dit, g_cond = grads
+        else:
+            # frozen conditioner: differentiate w.r.t. the DiT only —
+            # argnums=(0, 1) would pay a full backward through the (e.g.
+            # DINOv2-L) tower every step and then throw the grads away
+            (l, aux), g_dit = jax.value_and_grad(
+                loss, argnums=0, has_aux=True)(
+                    state.params, jax.lax.stop_gradient(cond_state.params))
         new_state = state.apply_gradients(g_dit, tx,
                                           ema_decay=base.ema_decay)
         if train_conditioner:

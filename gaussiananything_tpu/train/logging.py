@@ -23,7 +23,15 @@ class MetricLogger:
         self._counts: Dict[str, int] = defaultdict(int)
         self._csv_path = os.path.join(logdir, "progress.csv")
         self._jsonl = open(os.path.join(logdir, "progress.jsonl"), "a")
+        # resume-safe: adopt an existing file's header instead of appending
+        # a second header mid-file (which would desync columns and poison
+        # the header-extension rewrite)
         self._csv_keys = None
+        if os.path.exists(self._csv_path):
+            with open(self._csv_path) as f:
+                header = f.readline().strip()
+            if header:
+                self._csv_keys = header.split(",")
         self._tb = None
         if use_tensorboard:
             try:

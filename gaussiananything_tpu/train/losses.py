@@ -265,8 +265,9 @@ def depth_to_normal(depth: jnp.ndarray, cam_view: jnp.ndarray,
         x = gx * tf * z
         y = gy * tf * z
         pts_view = jnp.stack([x, y, z], -1)                    # (H, W, 3)
-        R = cv[:3, :3]  # row-vector world→view
-        pts_world = (pts_view - cv[3, :3]) @ jnp.linalg.inv(R)
+        R = cv[:3, :3]  # row-vector world→view (pure rotation: inv = .T)
+        pts_world = jnp.matmul(pts_view - cv[3, :3], R.T,
+                               precision=jax.lax.Precision.HIGHEST)
         dx = jnp.diff(pts_world, axis=1, append=pts_world[:, -1:])
         dy = jnp.diff(pts_world, axis=0, append=pts_world[-1:])
         n = jnp.cross(dx, dy)

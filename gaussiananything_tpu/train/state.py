@@ -108,13 +108,22 @@ class TrainState:
 
 def save_checkpoint(path: str, state: TrainState, keep: int = 3):
     import os
+    import shutil
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)  # orbax/tensorstore rejects relative paths
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(f"{path}/step_{int(state.step):08d}", state)
+    # force=True: a re-save at the same step (e.g. the unconditional final
+    # save when total_steps is a multiple of save_every) overwrites instead
+    # of crashing the run at its very end with 'destination already exists'
+    ckpt.save(f"{path}/step_{int(state.step):08d}", state, force=True)
     ckpt.wait_until_finished()
+    if keep > 0 and os.path.isdir(path):
+        steps = sorted(int(d.split("_")[1]) for d in os.listdir(path)
+                       if d.startswith("step_"))
+        for s in steps[:-keep]:
+            shutil.rmtree(f"{path}/step_{s:08d}", ignore_errors=True)
 
 
 def restore_checkpoint(path: str, template: TrainState,
@@ -184,5 +193,10 @@ def load_submodule(path: str, state: TrainState, submodule: str,
     def graft(tree):
         return {**tree, "params": {**tree["params"], submodule: sub}}
 
-    return dataclasses.replace(state, params=graft(state.params),
-                               ema_params=graft(state.ema_params))
+    return dataclasses.replace(
+        state, params=graft(state.params),
+        ema_params=graft(state.ema_params),
+        # re-seed every extra-rate EMA copy too (the docstring contract —
+        # otherwise they keep stale weights for ~1/(1-decay) steps)
+        ema_extra=({k: graft(v) for k, v in state.ema_extra.items()}
+                   if state.ema_extra else state.ema_extra))

@@ -116,8 +116,18 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
 
     logs: Dict[str, jnp.ndarray] = {}
     total = 0.0
-    # random LoD gets the perceptual term (`:2015-2111` random-LoD LPIPS)
-    lpips_lod = jax.random.randint(rng_lpips, (), 0, n_lod)
+    # random LoD gets the perceptual term (`:2015-2111` random-LoD LPIPS).
+    # In rand_coarse mode only {coarse_idx, finest} are rendered, so the
+    # draw must be between THOSE two — a draw over all n_lod LoDs would
+    # silently drop the perceptual term whenever it landed on an
+    # unrendered LoD (about half of all steps at 4 LoDs).
+    if cfg.rand_coarse_lod and n_lod > 2:
+        coarse_idx = jax.random.randint(rng_coarse, (), 0, n_lod - 1)
+        lpips_lod = jnp.where(jax.random.bernoulli(rng_lpips),
+                              n_lod - 1, coarse_idx)
+    else:
+        coarse_idx = None
+        lpips_lod = jax.random.randint(rng_lpips, (), 0, n_lod)
 
     def lod_loss(rend, res, i, log=True):
         gt_img = _resize_to(batch["images_sup"], res)
@@ -130,12 +140,22 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
             logs[f"alpha_lod{i}"] = al
         if cfg.perceptual_weight > 0:
             B, V = gt_img.shape[:2]
-            p = L.perceptual_loss(
-                rend["image"].reshape((B * V,) + rend["image"].shape[2:]),
-                gt_img.reshape((B * V,) + gt_img.shape[2:]),
-                params=lpips_params)
-            sub += jnp.where(lpips_lod == i, cfg.perceptual_weight, 0.0) * p
+
+            # lax.cond (not a where-gate): the perceptual net fwd+bwd at up
+            # to 512² is only EXECUTED for the selected LoD — a multiplied
+            # zero weight still pays all n_lod VGG passes under XLA
+            def _p(_):
+                return L.perceptual_loss(
+                    rend["image"].reshape(
+                        (B * V,) + rend["image"].shape[2:]),
+                    gt_img.reshape((B * V,) + gt_img.shape[2:]),
+                    params=lpips_params)
+
+            p = jax.lax.cond(lpips_lod == i, _p,
+                             lambda _: jnp.zeros(()), None)
+            sub += cfg.perceptual_weight * p
             if log:
+                # zero when this LoD was not the drawn one
                 logs[f"lpips_lod{i}"] = p
         if "depth_sup" in batch and cfg.depth_weight > 0:
             gt_d = _resize_to(batch["depth_sup"], res)
@@ -154,7 +174,6 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     if cfg.rand_coarse_lod and n_lod > 2:
         # one random coarse LoD (scalar loss via lax.switch — branch output
         # shapes must match, so each branch reduces to its own loss) + finest
-        coarse_idx = jax.random.randint(rng_coarse, (), 0, n_lod - 1)
         branches = [
             (lambda i=i: lod_loss(render_one(i), cfg.lod_resolutions[i], i,
                                   log=False))

@@ -263,3 +263,41 @@ class TestEMADecayThreading:
         d_high = float(jnp.abs(s_high.ema_params["w"]
                                - st.ema_params["w"]).sum())
         assert d_low > d_high * 10
+
+
+class TestGeometryMetricsRectangular:
+    def test_different_cardinalities(self):
+        """pred (N,3) vs gt (M,3) with N != M — the documented contract;
+        regression for sinkhorn_emd hard-requiring N == M."""
+        from gaussiananything_tpu.train.evaluation import geometry_metrics
+        r = np.random.default_rng(7)
+        gt = jnp.asarray(r.uniform(-0.4, 0.4, (150, 3)), jnp.float32)
+        pred = jnp.asarray(r.uniform(-0.4, 0.4, (200, 3)), jnp.float32)
+        m = geometry_metrics(pred, gt)
+        assert all(np.isfinite(v) for v in m.values())
+        # same distribution sampled twice: EMD far below a translated cloud
+        m_far = geometry_metrics(pred + 0.5, gt)
+        assert m_far["emd"] > m["emd"]
+
+
+class TestEvalGridNonIntegerRatio:
+    def test_release_style_ladder(self, tmp_path):
+        """The release ladder has a non-integer finest/coarse ratio
+        (384→512 = 4/3); integer kron upscaling crashed the grid dump."""
+        from gaussiananything_tpu.data.synthetic import make_batch
+        from gaussiananything_tpu.models.vae import PointVAE
+        from gaussiananything_tpu.train.evaluation import eval_novelview
+        batch = make_batch(seed=0, batch=1, n_views_in=2, n_views_sup=2,
+                           res=32, n_pts=64, n_splats=128)
+        batch.pop("gt_gaussians")
+        model = PointVAE(latent_num=16, z_channels=4, encoder_width=64,
+                         decoder_width=64, decoder_depth=1, decoder_heads=4,
+                         up_factors=(2, 2), up_depths=(1, 1))
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, batch["images_in"], batch["pcd"], rng)
+        # 48→64 = 4/3, the same non-integer ratio shape as 384→512
+        m = eval_novelview(model, params, batch, rng, (16, 48, 64),
+                           out_dir=str(tmp_path), step=2)
+        assert np.isfinite(m["eval/psnr"])
+        import os
+        assert os.path.exists(tmp_path / "eval_0000002.png")
