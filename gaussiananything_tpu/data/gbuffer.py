@@ -92,6 +92,17 @@ class MultiViewDataset:
         normal = chw(inst["normal"])
         depth = inst["depth"][:, None]
         alpha = inst["alpha"][:, None]
+        if self.resolution and rgb.shape[-1] != self.resolution:
+            # nearest-neighbour index resize to the configured training
+            # resolution (the knob was previously stored but never applied,
+            # silently yielding the packed resolution)
+            r = self.resolution
+            src = rgb.shape[-1]
+            yi = (np.arange(r) * src) // r
+            rgb = rgb[..., yi[:, None], yi[None, :]]
+            normal = normal[..., yi[:, None], yi[None, :]]
+            depth = depth[..., yi[:, None], yi[None, :]]
+            alpha = alpha[..., yi[:, None], yi[None, :]]
         pcd = inst["pcd"]
         if len(pcd) >= self.n_points:
             pcd = pcd[self.rng.choice(len(pcd), self.n_points, replace=False)]

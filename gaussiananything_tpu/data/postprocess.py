@@ -33,7 +33,8 @@ def backproject_depth(depth: jnp.ndarray, c2w: jnp.ndarray,
         pts_view = jnp.stack([gx * tf * z, gy * tf * z, z], -1)  # (H, W, 3)
         R = pose[:3, :3]   # camera axes as columns (c2w)
         t = pose[:3, 3]
-        pts_world = jnp.einsum("hwj,ij->hwi", pts_view, R) + t
+        pts_world = jnp.einsum("hwj,ij->hwi", pts_view, R,
+                               precision=jax.lax.Precision.HIGHEST) + t
         return jnp.moveaxis(pts_world, -1, 0)
 
     flat_d = depth.reshape((-1,) + depth.shape[-3:])

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaussiananything_tpu.data.postprocess import (IMAGENET_MEAN,
+                                                   IMAGENET_STD)
 from gaussiananything_tpu.models.layers import (TransformerBlock,
                                                 get_2d_sincos_pos_embed)
 
@@ -43,8 +45,8 @@ class VisionTransformer(nn.Module):
         raw — the embedder normalises)."""
         B = images.shape[0]
         x = jnp.moveaxis(images, 1, -1)
-        mean = jnp.asarray([0.485, 0.456, 0.406])
-        std = jnp.asarray([0.229, 0.224, 0.225])
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
         x = (x - mean) / std
         x = nn.Conv(self.width, (self.patch, self.patch),
                     strides=(self.patch, self.patch), dtype=self.dtype,
@@ -140,8 +142,8 @@ class ImageConditioner(nn.Module):
                     images, images.shape[:2] + (self.img_size,) * 2,
                     method="cubic")
             x = jnp.moveaxis(images, 1, -1)
-            mean = jnp.asarray([0.485, 0.456, 0.406])
-            std = jnp.asarray([0.229, 0.224, 0.225])
+            mean = jnp.asarray(IMAGENET_MEAN)
+            std = jnp.asarray(IMAGENET_STD)
             x = jnp.moveaxis((x - mean) / std, -1, 1)
             patch_tokens, cls_tok = Dinov2ViT(
                 width=self.width, depth=self.depth, heads=self.heads,

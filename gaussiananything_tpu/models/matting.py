@@ -25,6 +25,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gaussiananything_tpu.data.postprocess import (IMAGENET_MEAN,
+                                                   IMAGENET_STD)
+
 BN_EPS = 1e-5
 
 
@@ -200,8 +203,8 @@ def matting_alpha(params, image: jnp.ndarray, res: int = 320,
     H, W = image.shape[:2]
     x = jax.image.resize(image, (res, res, 3), method="bilinear")
     x = x / jnp.maximum(jnp.max(x), 1e-6)
-    mean = jnp.asarray([0.485, 0.456, 0.406])
-    std = jnp.asarray([0.229, 0.224, 0.225])
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
     x = (x - mean) / std
     a = (net or U2Net()).apply(params, x[None])[0, ..., 0]
     a = (a - a.min()) / jnp.maximum(a.max() - a.min(), 1e-6)

@@ -148,10 +148,13 @@ def _clean(text: str) -> str:
 
 
 # CLIP's pattern uses \p{L}/\p{N}; stdlib `re` equivalents below cover the
-# same classes via unicode-aware \w minus digits/underscore.
+# same classes via unicode-aware \w minus digits/underscore. The
+# punctuation class is [^\s\p{L}\p{N}]+ in CLIP, which INCLUDES '_'
+# (underscore is in \w, so a bare [^\s\w]+ would drop it entirely —
+# 'sci_fi' must tokenise like 'sci<punct>fi', not 'scifi').
 _PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+",
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE | re.UNICODE)
 
 

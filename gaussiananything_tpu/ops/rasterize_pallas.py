@@ -289,13 +289,18 @@ def rasterize_tiled_pallas(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
 
 def rasterize_tiled_fused(gaussians, cam_view, cam_view_proj, tanfov,
                           bg_color, img_h: int, img_w: int, tile: int = 16,
-                          max_per_tile: int = 1024, chunk: int = 256,
+                          max_per_tile: int = 1024, chunk: int = 64,
                           tile_group: int = 32, full_h: int = 0, row0=0):
     """Pallas forward + XLA-autodiff backward via custom_vjp.
 
     Forward pass runs the fused kernel (fast inference/eval); gradients fall
     back to the differentiable XLA compositing path, recomputing the forward
     (rematerialisation — no residuals stored).
+
+    Default chunk=64: the forward forces with_aux=True (value/gradient
+    consistency for 'dist'), and the aux prefix-scan kernel blows Mosaic's
+    VMEM budget at chunk ≥ 128 (see `rasterize_tiled_pallas` docstring) —
+    a chunk=256 default compiled only in the CPU interpreter tests.
     """
 
     @jax.custom_vjp

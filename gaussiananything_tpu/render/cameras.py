@@ -206,8 +206,10 @@ def plucker_rays(c2w: jnp.ndarray, K: jnp.ndarray, h: int, w: int) -> jnp.ndarra
         axis=-1,
     )  # (..., h, w, 3)
     R = c2w[..., :3, :3]
-    d = jnp.einsum("...hwj,...ij->...hwi", dirs_cam, R)
-    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    d = jnp.einsum("...hwj,...ij->...hwi", dirs_cam, R,
+                   precision=jax.lax.Precision.HIGHEST)
+    # x·rsqrt(Σx²+eps²): norm(x)+eps has NaN gradients at x=0 (CLAUDE.md)
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-16)
     o = jnp.broadcast_to(c2w[..., None, None, :3, 3], d.shape)
     plucker = jnp.concatenate([jnp.cross(o, d), d], axis=-1)  # (..., h, w, 6)
     return jnp.moveaxis(plucker, -1, -3)

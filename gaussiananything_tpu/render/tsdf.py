@@ -69,7 +69,10 @@ def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
     def integrate_one(carry, inp):
         tsdf, weight, color = carry
         depth, rgb, alpha, cv = inp
-        view = pts @ cv                                  # (N, 4)
+        # camera-matrix product pinned fp32 (CLAUDE.md: TPU MXU rounds
+        # inputs to bf16 at default precision; ~7e-3 z error ≈ one voxel)
+        view = jnp.matmul(pts, cv,
+                          precision=jax.lax.Precision.HIGHEST)  # (N, 4)
         z = view[:, 2]
         px = view[:, 0] / (z * tanfov)                   # ndc x in [-1,1]
         py = view[:, 1] / (z * tanfov)

@@ -252,6 +252,19 @@ class TestClipBPE:
         ids = tok(["a b c d e f g h i j"], max_len=5)
         assert ids[0, -1] == tok.eot
 
+    def test_underscore_is_punctuation(self, tmp_path):
+        """CLIP's [^\\s\\p{L}\\p{N}]+ class includes '_' — it must appear
+        as a punctuation token, not be silently deleted (regression:
+        'sci_fi' tokenised identically to 'scifi')."""
+        path = tmp_path / "bpe_vocab.txt"
+        path.write_text("#version: 0.2\n")
+        tok = ClipBPETokenizer(str(path))
+        with_us = tok(["sci_fi"], max_len=16)
+        without = tok(["scifi"], max_len=16)
+        assert list(with_us[0]) != list(without[0])
+        spaced = tok(["sci fi"], max_len=16)   # '_' ≠ plain separator either
+        assert list(with_us[0]) != list(spaced[0])
+
 
 class TestConditionerBackbones:
     def test_dinov2_backbone_shapes(self):
