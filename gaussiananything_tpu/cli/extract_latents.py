@@ -39,11 +39,6 @@ def main(argv=None):
     from gaussiananything_tpu.config import preset
     from gaussiananything_tpu.data.synthetic import make_batch
     from gaussiananything_tpu.models.vae import PointVAE
-    from gaussiananything_tpu.train.fm_trainer import XYZ_SCALE
-    from gaussiananything_tpu.train.state import (TrainState,
-                                                  TrainStateConfig,
-                                                  make_optimizer,
-                                                  restore_checkpoint)
 
     cfg = preset(args.preset)
     model = PointVAE.from_config(cfg.vae)
@@ -53,13 +48,9 @@ def main(argv=None):
                     n_views_sup=1, res=cfg.data.resolution,
                     n_pts=cfg.data.n_points, n_splats=512)
     params = model.init(rng, b0["images_in"], b0["pcd"], rng)
-    if args.ckpt and args.ckpt.endswith(".npz"):
-        from gaussiananything_tpu.utils.param_io import load_params_npz
-        params = load_params_npz(args.ckpt, template=params)
-    elif args.ckpt:
-        tx = make_optimizer(TrainStateConfig())
-        state = restore_checkpoint(args.ckpt, TrainState.create(params, tx))
-        params = state.ema_params
+    if args.ckpt:
+        from gaussiananything_tpu.train.state import restore_inference_params
+        params = restore_inference_params(args.ckpt, params)
 
     os.makedirs(args.out, exist_ok=True)
 

@@ -50,6 +50,10 @@ def main(argv=None):
                    help="folder of real conditioning images (i23d)")
     p.add_argument("--text", default=None,
                    help="text prompt (t23d; uses the text conditioner)")
+    p.add_argument("--bpe-vocab", default=None,
+                   help="open_clip bpe_simple_vocab_16e6.txt.gz path — "
+                        "required for tokenizer parity with released t23d "
+                        "checkpoints (--release --text)")
     args = p.parse_args(argv)
 
     import jax
@@ -70,29 +74,13 @@ def main(argv=None):
     from gaussiananything_tpu.render.renderer import render_multiview
     from gaussiananything_tpu.train.fm_trainer import (FMConfig, XYZ_SCALE,
                                                        make_sampler)
-    from gaussiananything_tpu.train.state import (TrainState,
-                                                  TrainStateConfig,
-                                                  make_optimizer,
-                                                  restore_checkpoint)
+    from gaussiananything_tpu.train.state import (TrainStateConfig,
+                                                  make_optimizer)
 
     cfg = preset(args.preset)
     if args.release:
-        # official-checkpoint shapes: CLAY-L DiTs on 768 tokens, DINOv2
-        # ViT-L/14-reg @518 conditioner, release VAE ladder
-        # (i23d-stage1.sh / i23d-stage2.sh / vae3d-adv-512.sh)
-        cfg = dataclasses.replace(
-            cfg,
-            dit=dataclasses.replace(cfg.dit, size="L", cond_width=1024,
-                                    cond_depth=24, cond_heads=16,
-                                    cond_img_size=518),
-            vae=dataclasses.replace(cfg.vae, latent_num=768, z_channels=10,
-                                    encoder_width=256, decoder_width=768,
-                                    decoder_depth=12, decoder_heads=12,
-                                    up_factors=(8, 4, 3),
-                                    up_depths=(2, 1, 1),
-                                    release_parity=True),
-            render=dataclasses.replace(cfg.render, output_size=512,
-                                       max_per_tile=2048, chunk=256))
+        from gaussiananything_tpu.config import release_config
+        cfg = release_config(cfg)
     if args.bf16:
         cfg = dataclasses.replace(
             cfg,
@@ -111,19 +99,40 @@ def main(argv=None):
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    t23d = args.text is not None
     if args.release:
-        from gaussiananything_tpu.models.dit import stage1_dit_release
-        dit1 = stage1_dit_release(dtype=dtype)
+        # text prompts sample the released t23d towers (DiT-PCD-L, CLIP
+        # text context 768), images the i23d ones (CLAY-L, DINOv2 1024)
+        from gaussiananything_tpu.models.dit import (stage1_dit_release,
+                                                     t23d_stage1_dit_release)
+        dit1 = (t23d_stage1_dit_release(dtype=dtype) if t23d
+                else stage1_dit_release(dtype=dtype))
     else:
         dit1 = stage1_dit(cfg.dit.size, cond_dim=cfg.dit.cond_width,
                           vector_dim=cfg.dit.cond_width, dtype=dtype)
-    if args.text is not None:
+    if t23d:
         from gaussiananything_tpu.models.conditioner import (
             TextConditioner, tokenize_bytes)
-        cond = TextConditioner(width=cfg.dit.cond_width,
-                               depth=cfg.dit.cond_depth,
-                               heads=cfg.dit.cond_heads, dtype=dtype)
-        cond_img = jnp.asarray(tokenize_bytes([args.text]))
+        if args.release:
+            # OpenCLIP ViT-L/14 text tower (width 768) + BPE ids
+            cond = TextConditioner(width=768, depth=12, heads=12,
+                                   backbone="openclip", dtype=dtype)
+            if args.bpe_vocab:
+                from gaussiananything_tpu.models.openclip_text import \
+                    ClipBPETokenizer
+                tok = ClipBPETokenizer(args.bpe_vocab)
+                cond_img = jnp.asarray(tok([args.text]))
+            else:
+                print("WARNING: --release --text without --bpe-vocab falls "
+                      "back to byte tokens; pass the open_clip "
+                      "bpe_simple_vocab_16e6.txt.gz for checkpoint parity",
+                      flush=True)
+                cond_img = jnp.asarray(tokenize_bytes([args.text]))
+        else:
+            cond = TextConditioner(width=cfg.dit.cond_width,
+                                   depth=cfg.dit.cond_depth,
+                                   heads=cfg.dit.cond_heads, dtype=dtype)
+            cond_img = jnp.asarray(tokenize_bytes([args.text]))
     else:
         cond = ImageConditioner(width=cfg.dit.cond_width,
                                 depth=cfg.dit.cond_depth,
@@ -151,21 +160,17 @@ def main(argv=None):
                             c0.vector)
 
     def _restore(ckpt, params):
-        if not ckpt:
-            return params
-        if ckpt.endswith(".npz"):
-            # imported official checkpoint (cli.import_release)
-            from gaussiananything_tpu.utils.param_io import load_params_npz
-            return load_params_npz(ckpt, template=params)
-        st = restore_checkpoint(ckpt, TrainState.create(params, tx))
-        return st.ema_params
+        from gaussiananything_tpu.train.state import restore_inference_params
+        return restore_inference_params(ckpt, params, tx)
 
     dit1_params = _cast(_restore(args.stage1_ckpt, dit1_params))
     cond_params = _cast(_restore(args.stage1_cond_ckpt, cond_params))
 
     fm1 = FMConfig(stage=1,
-                   cfg_scale=args.cfg_scale or cfg.transport.cfg_scale,
-                   num_steps=args.steps or cfg.transport.num_steps,
+                   cfg_scale=(args.cfg_scale if args.cfg_scale is not None
+                              else cfg.transport.cfg_scale),
+                   num_steps=(args.steps if args.steps is not None
+                              else cfg.transport.num_steps),
                    sampler=cfg.transport.sampler)
     sampler1 = make_sampler(dit1, cond, fm1, latent_shape=(K, 3))
 
@@ -182,8 +187,10 @@ def main(argv=None):
     run_stage2 = args.stage2_ckpt or args.vae_ckpt or args.full
     if run_stage2:
         if args.release:
-            from gaussiananything_tpu.models.dit import stage2_dit_release
-            dit2 = stage2_dit_release(dtype=dtype)
+            from gaussiananything_tpu.models.dit import (
+                stage2_dit_release, t23d_stage2_dit_release)
+            dit2 = (t23d_stage2_dit_release(dtype=dtype) if t23d
+                    else stage2_dit_release(dtype=dtype))
         else:
             dit2 = stage2_dit(cfg.dit.size, z_channels=cfg.vae.z_channels,
                               cond_dim=cfg.dit.cond_width,
@@ -195,8 +202,7 @@ def main(argv=None):
         cond2_params = (_cast(_restore(args.stage2_cond_ckpt, cond_params))
                         if args.stage2_cond_ckpt else cond_params)
         fm2 = FMConfig(stage=2,
-                       cfg_scale=args.cfg_scale or cfg.transport.cfg_scale,
-                       num_steps=args.steps or cfg.transport.num_steps,
+                       cfg_scale=fm1.cfg_scale, num_steps=fm1.num_steps,
                        sampler=cfg.transport.sampler)
         sampler2 = make_sampler(dit2, cond, fm2,
                                 latent_shape=(K, cfg.vae.z_channels))
@@ -213,7 +219,7 @@ def main(argv=None):
                             n_views_sup=1, res=cfg.data.resolution,
                             n_pts=cfg.data.n_points, n_splats=512)
             vae_params = vae.init(rng, b0["images_in"], b0["pcd"], rng)
-        vae_params = _restore(args.vae_ckpt, vae_params)
+        vae_params = _cast(_restore(args.vae_ckpt, vae_params))
 
     for i in range(args.num):
         key = jax.random.fold_in(rng, i)

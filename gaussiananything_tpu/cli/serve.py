@@ -50,17 +50,8 @@ def build_pipeline(args):
 
     cfg = preset(args.preset)
     if args.release:
-        cfg = dataclasses.replace(
-            cfg,
-            dit=dataclasses.replace(cfg.dit, size="L", cond_width=1024,
-                                    cond_depth=24, cond_heads=16,
-                                    cond_img_size=518),
-            vae=dataclasses.replace(cfg.vae, latent_num=768, z_channels=10,
-                                    encoder_width=256, decoder_width=768,
-                                    decoder_depth=12, decoder_heads=12,
-                                    up_factors=(8, 4, 3),
-                                    up_depths=(2, 1, 1),
-                                    release_parity=True))
+        from gaussiananything_tpu.config import release_config
+        cfg = release_config(cfg)
     rng = jax.random.PRNGKey(42)
     if args.release:
         dit = stage1_dit_release()
@@ -81,19 +72,15 @@ def build_pipeline(args):
     tx = make_optimizer(TrainStateConfig())
 
     def _restore(ckpt, params):
-        if not ckpt:
-            return params
-        if ckpt.endswith(".npz"):
-            from gaussiananything_tpu.utils.param_io import load_params_npz
-            return load_params_npz(ckpt, template=params)
-        return restore_checkpoint(
-            ckpt, TrainState.create(params, tx)).ema_params
+        from gaussiananything_tpu.train.state import restore_inference_params
+        return restore_inference_params(ckpt, params, tx)
 
     dit_params = _restore(args.stage1_ckpt, dit_params)
     cond_params = _restore(args.cond_ckpt, cond_params)
 
     fm = FMConfig(stage=1, cfg_scale=cfg.transport.cfg_scale,
-                  num_steps=args.steps or cfg.transport.num_steps,
+                  num_steps=(args.steps if args.steps is not None
+                             else cfg.transport.num_steps),
                   sampler=cfg.transport.sampler)
     sampler = make_sampler(dit, cond, fm, latent_shape=(K, 3))
 
@@ -111,6 +98,10 @@ def build_pipeline(args):
                                 jnp.zeros((1,)), c0.crossattn, c0.vector,
                                 jnp.zeros((1, K, 3)))
         dit2_params = _restore(args.stage2_ckpt, dit2_params)
+        # separately-trained stage-2 conditioner (sample.py parity)
+        cond2_params = (_restore(args.stage2_cond_ckpt, cond_params)
+                        if getattr(args, "stage2_cond_ckpt", None)
+                        else cond_params)
         fm2 = FMConfig(stage=2, cfg_scale=fm.cfg_scale,
                        num_steps=fm.num_steps, sampler=fm.sampler)
         sampler2 = make_sampler(dit2, cond, fm2,
@@ -171,7 +162,7 @@ def build_pipeline(args):
                 # release stage-2 conditions on fps-xyz / 0.45 (PCD_Scaler)
                 xyz_cond = jnp.asarray(xyz)[None] / (0.45 if args.release
                                                      else 1.0)
-                kl = sampler2(dit2_params, cond_params, x, key,
+                kl = sampler2(dit2_params, cond2_params, x, key,
                               xyz=xyz_cond)
                 lods = vae.apply(vae_params, kl, jnp.asarray(xyz)[None],
                                  method=PointVAE.decode)
@@ -203,6 +194,8 @@ def main(argv=None):
                         "cli.import_release)")
     p.add_argument("--stage1-ckpt", default=None)
     p.add_argument("--stage2-ckpt", default=None)
+    p.add_argument("--stage2-cond-ckpt", default=None,
+                   help="separately-trained stage-2 conditioner weights")
     p.add_argument("--vae-ckpt", default=None)
     p.add_argument("--cond-ckpt", default=None)
     p.add_argument("--matting-ckpt", default=None,
@@ -248,7 +241,9 @@ def main(argv=None):
                 self._send(404, b'{"error":"not found"}')
 
         def do_POST(self):
-            if self.path != "/generate":
+            from urllib.parse import parse_qs, urlparse
+            url = urlparse(self.path)
+            if url.path != "/generate":
                 self._send(404, b'{"error":"not found"}')
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -259,13 +254,18 @@ def main(argv=None):
             # accept either raw image bytes or multipart form
             ctype = self.headers.get("Content-Type", "")
             if "multipart" in ctype:
-                bdry = ctype.split("boundary=")[-1].encode()
+                bdry = ctype.split("boundary=")[-1].split(";")[0].strip()
+                bdry = bdry.strip('"').encode()   # boundary may be quoted
                 parts = body.split(b"--" + bdry)
                 data = None
                 for part in parts:
                     if b"filename=" in part:
-                        data = part.split(b"\r\n\r\n", 1)[-1].rstrip(
-                            b"\r\n-")
+                        data = part.split(b"\r\n\r\n", 1)[-1]
+                        # exactly ONE CRLF precedes the next boundary; a
+                        # byte-class rstrip would eat payload bytes that
+                        # legitimately end in CR/LF/'-'
+                        if data.endswith(b"\r\n"):
+                            data = data[:-2]
                         break
                 if data is None:
                     self._send(400, b'{"error":"no file in form"}')
@@ -280,7 +280,16 @@ def main(argv=None):
                 self._send(400, json.dumps(
                     {"error": f"cannot decode image: {e}"}).encode())
                 return
-            out = generate(img, seed=42, out_dir=args.assets)
+            # per-request seed: ?seed=N query param, else a fresh value per
+            # request (the reference gradio app exposes seed; a hardcoded
+            # one returned the identical sample for every upload)
+            q = parse_qs(url.query)
+            try:
+                seed = int(q["seed"][0])
+            except (KeyError, ValueError):
+                seed = int.from_bytes(os.urandom(4), "little")
+            out = generate(img, seed=seed, out_dir=args.assets)
+            out["seed"] = seed
             self._send(200, json.dumps(out).encode())
 
         def log_message(self, fmt, *a):  # quiet

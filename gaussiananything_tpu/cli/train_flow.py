@@ -158,15 +158,8 @@ def main(argv=None):
                           c0.crossattn, c0.vector, **init_kw)
 
     def _warm(ckpt, params):
-        if not ckpt:
-            return params
-        if ckpt.endswith(".npz"):
-            from gaussiananything_tpu.utils.param_io import load_params_npz
-            return load_params_npz(ckpt, template=params)
-        from gaussiananything_tpu.train.state import restore_checkpoint
-        return restore_checkpoint(
-            ckpt, TrainState.create(params, make_optimizer(
-                TrainStateConfig()))).ema_params
+        from gaussiananything_tpu.train.state import restore_inference_params
+        return restore_inference_params(ckpt, params)
 
     cond_params = _warm(args.cond_ckpt, cond_params)
     dit_params = _warm(args.dit_ckpt, dit_params)

@@ -146,6 +146,7 @@ def main(argv=None):
 
     import time
     t0 = time.time()
+    step0 = int(state.step)        # resume-aware steps_per_s numerator
     for i in range(int(state.step), cfg.optim.total_steps):
         batch = next(it)
         batch.pop("tanfov")
@@ -178,7 +179,7 @@ def main(argv=None):
                 logger.logkv(k, v)
         if (i + 1) % 20 == 0 or i == 0:
             logger.logkv("steps_per_s",
-                         (i + 1) / max(time.time() - t0, 1e-9))
+                         (i + 1 - step0) / max(time.time() - t0, 1e-9))
             logger.dumpkvs(i + 1)
         if (i + 1) % args.save_every == 0:
             save_checkpoint(os.path.join(logdir, "ckpt"), state)

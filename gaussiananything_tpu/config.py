@@ -192,3 +192,24 @@ def compute_dtype(name: str):
         raise ValueError(f"compute_dtype must be one of {sorted(table)}, "
                          f"got {name!r}")
     return table[name]
+
+
+def release_config(base: "RunConfig") -> "RunConfig":
+    """Official-checkpoint shapes, shared by every --release entry point
+    (sample/serve): CLAY-L DiTs on 768 tokens, DINOv2 ViT-L/14-reg @518
+    conditioner, the release VAE ladder (768 -> x8 -> x4 -> x3) and
+    512^2 rendering (i23d-stage1.sh / i23d-stage2.sh / vae3d-adv-512.sh).
+    Previously duplicated per-CLI and already drifting."""
+    import dataclasses
+    return dataclasses.replace(
+        base,
+        dit=dataclasses.replace(base.dit, size="L", cond_width=1024,
+                                cond_depth=24, cond_heads=16,
+                                cond_img_size=518),
+        vae=dataclasses.replace(base.vae, latent_num=768, z_channels=10,
+                                encoder_width=256, decoder_width=768,
+                                decoder_depth=12, decoder_heads=12,
+                                up_factors=(8, 4, 3), up_depths=(2, 1, 1),
+                                release_parity=True),
+        render=dataclasses.replace(base.render, output_size=512,
+                                   max_per_tile=2048, chunk=256))

@@ -137,7 +137,22 @@ def restore_checkpoint(path: str, template: TrainState,
                        if d.startswith("step_"))
         step = steps[-1]
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(f"{os.path.abspath(path)}/step_{step:08d}", template)
+    target = f"{os.path.abspath(path)}/step_{step:08d}"
+    try:
+        return ckpt.restore(target, template)
+    except Exception:
+        # Checkpoints trained with extra_ema_decays carry an ema_extra
+        # dict the caller's template (usually TrainState.create with
+        # ema_extra=None) doesn't know about. Raw-restore to discover the
+        # tree, then retry with an augmented template so inference CLIs
+        # can load training checkpoints without knowing the EMA config.
+        raw = ckpt.restore(target)
+        extra = raw.get("ema_extra") if isinstance(raw, dict) else None
+        if not extra:
+            raise
+        tpl2 = dataclasses.replace(
+            template, ema_extra={k: template.params for k in extra})
+        return ckpt.restore(target, tpl2)
 
 
 def load_submodule(path: str, state: TrainState, submodule: str,
@@ -200,3 +215,20 @@ def load_submodule(path: str, state: TrainState, submodule: str,
         # otherwise they keep stale weights for ~1/(1-decay) steps)
         ema_extra=({k: graft(v) for k, v in state.ema_extra.items()}
                    if state.ema_extra else state.ema_extra))
+
+
+def restore_inference_params(ckpt: Optional[str], template,
+                             tx: Optional["optax.GradientTransformation"]
+                             = None):
+    """Shared CLI restore: imported ``.npz`` (cli.import_release) or an
+    orbax training checkpoint (returns its EMA params). Previously
+    duplicated across sample/serve/train_flow/extract_latents."""
+    if not ckpt:
+        return template
+    if ckpt.endswith(".npz"):
+        from gaussiananything_tpu.utils.param_io import load_params_npz
+        return load_params_npz(ckpt, template=template)
+    if tx is None:
+        tx = make_optimizer(TrainStateConfig())
+    return restore_checkpoint(ckpt, TrainState.create(template, tx)
+                              ).ema_params

@@ -368,3 +368,28 @@ class TestTrainerErgonomics:
         dst = TrainState.create(bad, tx)
         with pytest.raises(ValueError):
             load_submodule(str(tmp_path / "ck"), dst, "encoder")
+
+
+class TestRestoreWithExtraEMA:
+    def test_plain_template_restores_extra_ema_checkpoint(self, tmp_path):
+        """Inference CLIs restore with TrainState.create(params, tx) — no
+        extra_ema_decays. A checkpoint trained WITH extra EMA rates must
+        still load (regression: orbax tree-structure mismatch made such
+        checkpoints unloadable by sample/serve/extract_latents)."""
+        import optax
+
+        from gaussiananything_tpu.train.state import (TrainState,
+                                                      restore_checkpoint,
+                                                      save_checkpoint)
+        params = {"params": {"w": jnp.ones((3,))}}
+        tx = optax.sgd(1e-2)
+        st = TrainState.create(params, tx, extra_ema_decays=(0.999, 0.99))
+        st = st.apply_gradients({"params": {"w": jnp.ones((3,))}}, tx)
+        save_checkpoint(str(tmp_path), st)
+        plain = TrainState.create(params, tx)          # no extra EMA
+        restored = restore_checkpoint(str(tmp_path), plain)
+        assert int(restored.step) == 1
+        assert set(restored.ema_extra) == {"0.999", "0.99"}
+        np.testing.assert_allclose(
+            np.asarray(restored.params["params"]["w"]),
+            np.asarray(st.params["params"]["w"]))
