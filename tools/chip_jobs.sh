@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  timeout 3000 "$@" >"$OUT/$name.log" 2>&1
+  timeout 5400 "$@" >"$OUT/$name.log" 2>&1
   echo "--- $name exit=$? tail:"
   tail -5 "$OUT/$name.log"
 }
