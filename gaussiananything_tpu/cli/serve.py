@@ -23,6 +23,25 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def parse_multipart_file(body: bytes, content_type: str):
+    """Extract the first file part's raw bytes from a multipart/form-data
+    body, or None if absent.
+
+    Strips exactly ONE trailing CRLF (the protocol separator before the
+    next boundary) — a byte-class rstrip would eat payload bytes that
+    legitimately end in CR/LF/'-'. Handles quoted boundary= parameters.
+    """
+    bdry = content_type.split("boundary=")[-1].split(";")[0].strip()
+    bdry = bdry.strip('"').encode()
+    for part in body.split(b"--" + bdry):
+        if b"filename=" in part:
+            data = part.split(b"\r\n\r\n", 1)[-1]
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            return data
+    return None
+
+
 def build_pipeline(args):
     """Load models once; returns generate(image_array, seed) -> dict."""
     import dataclasses
@@ -254,19 +273,7 @@ def main(argv=None):
             # accept either raw image bytes or multipart form
             ctype = self.headers.get("Content-Type", "")
             if "multipart" in ctype:
-                bdry = ctype.split("boundary=")[-1].split(";")[0].strip()
-                bdry = bdry.strip('"').encode()   # boundary may be quoted
-                parts = body.split(b"--" + bdry)
-                data = None
-                for part in parts:
-                    if b"filename=" in part:
-                        data = part.split(b"\r\n\r\n", 1)[-1]
-                        # exactly ONE CRLF precedes the next boundary; a
-                        # byte-class rstrip would eat payload bytes that
-                        # legitimately end in CR/LF/'-'
-                        if data.endswith(b"\r\n"):
-                            data = data[:-2]
-                        break
+                data = parse_multipart_file(body, ctype)
                 if data is None:
                     self._send(400, b'{"error":"no file in form"}')
                     return

@@ -51,3 +51,32 @@ def test_full_cascade_with_npz_vae(tmp_path):
         n_up *= f
     assert out["n_gaussians"] == K * n_up
     assert (tmp_path / out["gaussians_ply"].split("/")[-1]).exists()
+
+
+class TestMultipartParser:
+    def test_payload_ending_in_special_bytes(self):
+        """Regression: a byte-class rstrip(b'\\r\\n-') corrupted uploads
+        whose file bytes end in CR, LF, or '-'."""
+        from gaussiananything_tpu.cli.serve import parse_multipart_file
+        for tail in (b"\r", b"\n", b"-", b"---", b"\r\n", b"ok"):
+            payload = b"IMAGEBYTES" + tail
+            body = (b"--BOUND\r\n"
+                    b'Content-Disposition: form-data; name="file"; '
+                    b'filename="x.png"\r\n'
+                    b"Content-Type: image/png\r\n\r\n"
+                    + payload + b"\r\n--BOUND--\r\n")
+            got = parse_multipart_file(
+                body, 'multipart/form-data; boundary=BOUND')
+            assert got == payload, (tail, got)
+
+    def test_quoted_boundary_and_missing_file(self):
+        from gaussiananything_tpu.cli.serve import parse_multipart_file
+        body = (b"--B1\r\n"
+                b'Content-Disposition: form-data; name="file"; '
+                b'filename="a"\r\n\r\nDATA\r\n--B1--\r\n')
+        assert parse_multipart_file(
+            body, 'multipart/form-data; boundary="B1"') == b"DATA"
+        nofile = b"--B1\r\nContent-Disposition: form-data; " \
+                 b'name="seed"\r\n\r\n7\r\n--B1--\r\n'
+        assert parse_multipart_file(
+            nofile, "multipart/form-data; boundary=B1") is None
