@@ -368,7 +368,10 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
     # fp32 product is well-conditioned, and it drops three transcendental
     # map passes from the hot loop (~10% step time at 512²).
     t_incl = jnp.cumprod(1.0 - alpha, axis=-1)              # Π_{j<=i}(1−α_j)
-    t_excl = t_incl / (1.0 - alpha)                         # Π_{j<i}(1−α_j)
+    # exclusive product by SHIFT, not division: exact (no rounding through
+    # the divide) and drops a multi-cycle VPU division per pair-pixel
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1)
     t_in = state.trans[..., None] * t_excl
     below = t_in <= T_EPS
     w = jnp.where(below, 0.0, state.trans[..., None] * alpha * t_excl)
@@ -465,7 +468,8 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     alpha = jnp.where(keep, alpha_raw, 0.0)
     depth = jnp.where(keep, depth, 0.0)
     t_incl = jnp.cumprod(1.0 - alpha, axis=-1)
-    t_excl = t_incl / (1.0 - alpha)
+    t_excl = jnp.concatenate(                    # shifted exclusive product
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1)
     tau = state.trans[..., None]
     t_in = tau * t_excl
     below = t_in <= T_EPS
