@@ -89,6 +89,22 @@ class TestDecodeHelpers:
         os.remove(path)
         assert d.shape == (4, 4) and n.shape == (4, 4, 3)
 
+    def test_read_dnormal_resize_nonsquare(self):
+        """Regression: the resize gate compared WIDTH to the target
+        HEIGHT, so non-square buffers skipped (or wrongly took) the
+        resize."""
+        path = "/tmp/test_dn3.exr"
+        raw.write_exr(path, {
+            "R": np.zeros((16, 8), np.float32),
+            "G": np.zeros((16, 8), np.float32),
+            "B": np.zeros((16, 8), np.float32),
+            "A": np.full((16, 8), 2.0, np.float32)},
+            pixel_type=raw._PT_FLOAT)
+        # shape[1] == 8 == target h: the old gate skipped the resize here
+        d, n = raw.read_dnormal(path, np.array([2.0, 0, 0]), h=8, w=4)
+        os.remove(path)
+        assert d.shape == (8, 4) and n.shape == (8, 4, 3)
+
     def test_unity2blender_fix(self):
         n = np.array([[[1.0, 2.0, 3.0]]])
         out = raw.unity2blender_fix(n)
