@@ -66,16 +66,28 @@ def make_object(seed: int, n: int = 1024, kind: str | None = None
 
 def render_scene_views(gaussians: jnp.ndarray, poses25: np.ndarray,
                        res: int = 128) -> Dict[str, jnp.ndarray]:
-    """Render (V, 25) poses → GT maps dict (V leading), channel-first."""
+    """Render (V, 25) poses → GT maps dict (V leading), channel-first.
+
+    Non-tile-divisible `res` (e.g. the DINOv2 conditioning size 518) is
+    rendered at the nearest multiple of 16 and bicubic-resized, matching
+    the reference's render-512 → kornia-resize-518 conditioning path
+    (`sgm/modules/encoders/modules.py:863-875`).
+    """
+    rres = max(16, int(round(res / 16)) * 16)
     cam = cameras.pose_to_gs_camera(jnp.asarray(poses25))
     out = render_multiview(
         gaussians[None],
         cam["cam_view"][None], cam["cam_view_proj"][None],
         jnp.broadcast_to(cam["tanfov"][None], (1, poses25.shape[0])),
-        jnp.ones((1, poses25.shape[0], 3)), res,
+        jnp.ones((1, poses25.shape[0], 3)), rres,
         tile=16, max_per_tile=512, chunk=128,
-        tile_group=max(1, (res // 16) ** 2 // 8))
-    return {k: v[0] for k, v in out.items()}
+        tile_group=max(1, (rres // 16) ** 2 // 8))
+    out = {k: v[0] for k, v in out.items()}
+    if rres != res:
+        out = {k: jax.image.resize(
+            v, v.shape[:-2] + (res, res), method="bicubic")
+            for k, v in out.items()}
+    return out
 
 
 def make_batch(seed: int, batch: int = 1, n_views_in: int = 4,

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussiananything_tpu.ops.gaussians import unpack_gaussians
-from gaussiananything_tpu.utils.quaternions import quat_to_rotmat
+from gaussiananything_tpu.utils.quaternions import normalize
 
 # Screen-space low-pass filter: the response is max(G_3d, G_2d) where G_2d is
 # an isotropic 2D Gaussian at the projected centre with inverse variance 2.0
@@ -93,48 +93,68 @@ def preprocess_splats(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     """
     g = unpack_gaussians(gaussians.astype(jnp.float32))
     N = g.xyz.shape[0]
-    R = quat_to_rotmat(g.rotation)           # (N, 3, 3)
+
+    # COMPONENT-VECTOR form: every hot operation below runs on (N,) arrays.
+    # TPU vregs are (8 sublanes × 128 lanes); elementwise math on (N, 3)
+    # arrays uses 3 of 128 lanes per pass (~2.3% utilisation), and the tiny
+    # (N, 3, 4) @ (4, 4) camera products map to the MXU pathologically.
+    # Expanding both into scalar-broadcast fma chains over (N,) component
+    # vectors is full-lane VPU work — measured ~6.9 ms → sub-ms at 73k
+    # splats — and is EXACT fp32 (the MXU at Precision.HIGHEST is a
+    # multi-pass bf16 approximation; see CLAUDE.md precision notes).
+    qn = normalize(g.rotation)
+    qr, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
     su = g.scale[:, 0] * scale_modifier
     sv = g.scale[:, 1] * scale_modifier
-    tu = R[:, :, 0] * su[:, None]             # (N, 3) world tangent * scale
-    tv = R[:, :, 1] * sv[:, None]
-    nrm = R[:, :, 2]                          # (N, 3) world normal
+    # Rotation-matrix columns (rotated basis axes), as in quat_to_rotmat:
+    # column 0 / 1 = scaled tangents, column 2 = world normal.
+    tu = ((1 - 2 * (qy * qy + qz * qz)) * su,
+          (2 * (qx * qy + qr * qz)) * su,
+          (2 * (qx * qz - qr * qy)) * su)
+    tv = ((2 * (qx * qy - qr * qz)) * sv,
+          (1 - 2 * (qx * qx + qz * qz)) * sv,
+          (2 * (qy * qz + qr * qx)) * sv)
+    nrm = (2 * (qx * qz + qr * qy),
+           2 * (qy * qz - qr * qx),
+           1 - 2 * (qx * qx + qy * qy))
+    pxyz = (g.xyz[:, 0], g.xyz[:, 1], g.xyz[:, 2])
 
-    # Homogeneous splat-to-world: world_h(u,v) = (u,v,1) @ Mh, Mh rows:
-    Mh = jnp.stack(
-        [
-            jnp.concatenate([tu, jnp.zeros((N, 1))], -1),
-            jnp.concatenate([tv, jnp.zeros((N, 1))], -1),
-            jnp.concatenate([g.xyz, jnp.ones((N, 1))], -1),
-        ],
-        axis=1,
-    )  # (N, 3, 4)
+    P = cam_view_proj  # (4, 4) row-vector convention: clip = world_h @ P
+    V = cam_view
 
-    # Camera products in full fp32: TPU matmuls default to reduced precision,
-    # which is catastrophic for the near/far cancellations in these transforms.
-    hi = jax.lax.Precision.HIGHEST
-    T_clip = jnp.matmul(Mh, cam_view_proj, precision=hi)  # clip(u,v) = (u,v,1)·T
-    T_view = jnp.matmul(Mh, cam_view, precision=hi)       # view(u,v)
+    def _row_times(vec3, M, w_row, j):
+        # (vec3, w) @ M column j  with scalar-broadcast fma (w ∈ {0, 1}).
+        out = vec3[0] * M[0, j] + vec3[1] * M[1, j] + vec3[2] * M[2, j]
+        return out + M[3, j] if w_row else out
+
+    # Homogeneous splat-to-world rows: row0 = (tu, 0), row1 = (tv, 0),
+    # row2 = (xyz, 1); clip(u,v) = (u,v,1) @ (Mh @ P).
+    Tc = {(i, j): _row_times(row, P, w, j)
+          for i, (row, w) in enumerate(((tu, 0), (tv, 0), (pxyz, 1)))
+          for j in (0, 1, 3)}
+    tz_c = tuple(_row_times(row, V, w, 2)
+                 for row, w in ((tu, 0), (tv, 0), (pxyz, 1)))
 
     # Fold NDC→pixel into the plane coefficients. ndc2pix(v) = ((v+1)*S-1)/2.
-    w_coef = T_clip[:, :, 3]                  # (N, 3)
-    t_x = 0.5 * img_w * T_clip[:, :, 0] + (0.5 * img_w - 0.5) * w_coef
-    t_y = 0.5 * img_h * T_clip[:, :, 1] + (0.5 * img_h - 0.5) * w_coef
-    t_z = T_view[:, :, 2]                     # view depth coeffs
+    kx, bx = 0.5 * img_w, 0.5 * img_w - 0.5
+    ky, by = 0.5 * img_h, 0.5 * img_h - 0.5
+    tx_c = tuple(kx * Tc[(i, 0)] + bx * Tc[(i, 3)] for i in range(3))
+    ty_c = tuple(ky * Tc[(i, 1)] + by * Tc[(i, 3)] for i in range(3))
+    tw_c = tuple(Tc[(i, 3)] for i in range(3))
 
-    # Projected centre: (u,v) = (0,0) → homogeneous coords are row 2 of T.
-    cw = w_coef[:, 2]
+    # Projected centre: (u,v) = (0,0) → homogeneous coords are row 2.
+    cw = tw_c[2]
     safe_cw = jnp.where(jnp.abs(cw) < 1e-8, 1e-8, cw)
-    center_pix = jnp.stack([t_x[:, 2] / safe_cw, t_y[:, 2] / safe_cw], -1)
-    center_z = t_z[:, 2]
+    cpx = tx_c[2] / safe_cw
+    cpy = ty_c[2] / safe_cw
+    center_z = tz_c[2]
 
     # Camera-facing normal in view space (row-vector: n_view = n @ V[:3,:3]).
-    normal_view = jnp.matmul(nrm, cam_view[:3, :3], precision=hi)
-    pos_view = jnp.matmul(
-        jnp.concatenate([g.xyz, jnp.ones((N, 1))], -1), cam_view[:, :3],
-        precision=hi)
-    facing = jnp.sum(normal_view * pos_view, -1, keepdims=True)
-    normal_view = jnp.where(facing > 0, -normal_view, normal_view)
+    nv = [_row_times(nrm, V, 0, j) for j in range(3)]
+    pv = [_row_times(pxyz, V, 1, j) for j in range(3)]
+    facing = nv[0] * pv[0] + nv[1] * pv[1] + nv[2] * pv[2]
+    flip = jnp.where(facing > 0, -1.0, 1.0)
+    nv = [c * flip for c in nv]
 
     # Exact screen-space AABB of the ρ ≤ RHO_CUT level set (the projective
     # conic bound of diff-surfel-rasterization's compute_aabb, consumed at
@@ -145,33 +165,41 @@ def preprocess_splats(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     # A centre-based 3σ·f/z radius UNDERESTIMATES tilted surfels (measured
     # up to 6.5 px short at 512²/73k — enough to miss a neighbouring tile),
     # which broke tiled↔oracle parity; this bound is exact.
-    qs = jnp.array([RHO_CUT, RHO_CUT, -1.0], jnp.float32)
+    A_conic = RHO_CUT * (tw_c[0] * tw_c[0] + tw_c[1] * tw_c[1]) \
+        - tw_c[2] * tw_c[2]
+    bounded = A_conic < -1e-9         # ellipse (w ≠ 0 on the level set)
+    safe_A = jnp.where(bounded, A_conic, -1.0)
 
     def _axis_bounds(t_a):
-        A = jnp.sum(w_coef * w_coef * qs, -1)
-        B = jnp.sum(t_a * w_coef * qs, -1)
-        C = jnp.sum(t_a * t_a * qs, -1)
-        bounded = A < -1e-9           # ellipse (w ≠ 0 on the level set)
-        safe_A = jnp.where(bounded, A, -1.0)
+        B = RHO_CUT * (t_a[0] * tw_c[0] + t_a[1] * tw_c[1]) \
+            - t_a[2] * tw_c[2]
+        C = RHO_CUT * (t_a[0] * t_a[0] + t_a[1] * t_a[1]) \
+            - t_a[2] * t_a[2]
         mid = B / safe_A
         half = jnp.sqrt(jnp.maximum(mid * mid - C / safe_A, 1e-4))
-        return mid - half, mid + half, bounded
+        return mid - half, mid + half
 
-    x0, x1, bounded = _axis_bounds(t_x)
-    y0, y1, _ = _axis_bounds(t_y)
+    x0, x1 = _axis_bounds(tx_c)
+    y0, y1 = _axis_bounds(ty_c)
     # Union with the screen-space low-pass disk around the projected centre
     # (ρ2d = FILTER_INV_SQUARE·d² reaches the window cut at this radius).
     rf = float(np.sqrt(RHO_CUT / FILTER_INV_SQUARE)) + 0.5
-    bb_min = jnp.minimum(jnp.stack([x0, y0], -1), center_pix - rf)
-    bb_max = jnp.maximum(jnp.stack([x1, y1], -1), center_pix + rf)
+    bb_min = jnp.stack([jnp.minimum(x0, cpx - rf),
+                        jnp.minimum(y0, cpy - rf)], -1)
+    bb_max = jnp.stack([jnp.maximum(x1, cpx + rf),
+                        jnp.maximum(y1, cpy + rf)], -1)
 
     valid = (center_z > NEAR_CULL) & (g.opacity[:, 0] > 0) \
-        & jnp.isfinite(center_pix).all(-1) & bounded
+        & jnp.isfinite(cpx) & jnp.isfinite(cpy) & bounded
 
+    # Assemble the public (N, …) layout once at the end (one relayout pass
+    # per field — cheap; the per-splat MATH above never touched it).
     return SplatProj(
-        t_x=t_x, t_y=t_y, t_w=w_coef, t_z=t_z,
-        center_pix=center_pix, center_z=center_z,
-        opacity=g.opacity[:, 0], rgb=g.rgb, normal_view=normal_view,
+        t_x=jnp.stack(tx_c, -1), t_y=jnp.stack(ty_c, -1),
+        t_w=jnp.stack(tw_c, -1), t_z=jnp.stack(tz_c, -1),
+        center_pix=jnp.stack([cpx, cpy], -1), center_z=center_z,
+        opacity=g.opacity[:, 0], rgb=g.rgb,
+        normal_view=jnp.stack(nv, -1),
         bb_min=bb_min, bb_max=bb_max, valid=valid,
     )
 
@@ -294,15 +322,27 @@ PACKED_F = 22
 
 
 def pack_splat_render(sp: SplatProj) -> jnp.ndarray:
-    """SplatProj → (PACKED_F, N) hot-loop matrix (see layout above)."""
-    A = jnp.cross(sp.t_y, sp.t_w)
-    B = jnp.cross(sp.t_w, sp.t_x)
-    C = jnp.cross(sp.t_x, sp.t_y)
+    """SplatProj → (PACKED_F, N) hot-loop matrix (see layout above).
+
+    Cross products are expanded componentwise on (N,) vectors (full-lane
+    VPU; `jnp.cross` on (N, 3) runs at 3/128 lane utilisation).
+    """
+    x0, x1, x2 = sp.t_x[:, 0], sp.t_x[:, 1], sp.t_x[:, 2]
+    y0, y1, y2 = sp.t_y[:, 0], sp.t_y[:, 1], sp.t_y[:, 2]
+    w0, w1, w2 = sp.t_w[:, 0], sp.t_w[:, 1], sp.t_w[:, 2]
+
+    def _cross(a0, a1, a2, b0, b1, b2):
+        return (a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0)
+
+    A = _cross(y0, y1, y2, w0, w1, w2)
+    B = _cross(w0, w1, w2, x0, x1, x2)
+    C = _cross(x0, x1, x2, y0, y1, y2)
     op = jnp.where(sp.valid, sp.opacity, 0.0)
-    return jnp.concatenate([
-        A.T, B.T, C.T, sp.t_z.T,
-        sp.center_pix[:, 0][None], sp.center_pix[:, 1][None],
-        sp.center_z[None], op[None], sp.rgb.T, sp.normal_view.T,
+    return jnp.stack([
+        *A, *B, *C, sp.t_z[:, 0], sp.t_z[:, 1], sp.t_z[:, 2],
+        sp.center_pix[:, 0], sp.center_pix[:, 1],
+        sp.center_z, op, sp.rgb[:, 0], sp.rgb[:, 1], sp.rgb[:, 2],
+        sp.normal_view[:, 0], sp.normal_view[:, 1], sp.normal_view[:, 2],
     ], axis=0)
 
 
@@ -404,9 +444,19 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
         - 2.0 * state.dist_d * s_wm \
         + (s_w * s_wm2 - s_wm * s_wm)
 
+    # Transmittance flush-to-zero: below T_EPS every future contribution is
+    # already masked to exactly zero (the `below` gate above), so the ray is
+    # DEAD — flushing its transmittance to 0 makes that termination explicit
+    # and exact (bg blend included) instead of carrying a <=1e-4 residue.
+    # This is what makes the frame loop's saturation early-exit bit-exact:
+    # a chunk entered with all-zero trans returns the state unchanged.
+    # Mirrors the CUDA rasterizer's per-pixel `T < 0.0001` termination test.
+    trans_raw = state.trans * t_incl[..., -1]
+    trans_out = jnp.where(trans_raw > T_EPS, trans_raw, 0.0)
+
     return PixelState(
         rgb=state.rgb + acc[..., 0:3],
-        trans=state.trans * t_incl[..., -1],
+        trans=trans_out,
         alpha_acc=state.alpha_acc + s_w,
         depth_exp=depth_exp, depth_med=depth_med,
         normal=state.normal + acc[..., 3:6],
@@ -510,11 +560,16 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     q = cw * w
     incl = jnp.cumsum(q, axis=-1)
     suffix = incl[..., -1:] - incl                                # Σ_{j>k}
-    trans_out = state.trans * t_incl[..., -1]
-    bracket = suffix + (ct.trans * trans_out)[..., None]
+    trans_raw = state.trans * t_incl[..., -1]
+    # flush-to-zero gate (fwd: trans_out = where(raw > T_EPS, raw, 0)):
+    # no cotangent flows through a flushed transmittance.
+    flushed = trans_raw <= T_EPS
+    ct_trans_out = jnp.where(flushed, 0.0, ct.trans)
+    trans_out = jnp.where(flushed, 0.0, trans_raw)
+    bracket = suffix + (ct_trans_out * trans_out)[..., None]
     ct_alpha = cw * tau * t_excl - bracket / (1.0 - alpha)
     ct_trans = jnp.sum(cw * alpha * t_excl, axis=-1) \
-        + ct.trans * t_incl[..., -1]
+        + ct_trans_out * t_incl[..., -1]
 
     # ---- depth / mapped-depth chain ----------------------------------------
     ct_m = ct_s_wm[..., None] * w + ct_s_wm2[..., None] * (2.0 * w * m)
@@ -812,7 +867,18 @@ def _frame_loop(static, packed, pairs, starts_s, counts_s, n_act,
                 d = d.reshape(PACKED_F, G, chunk)
                 return composite_chunk_grouped(s, px, py, d)
 
-            nxt = jax.lax.cond(c < active, run, lambda s: s, st)
+            # Early exit on saturation: once EVERY pixel in the group's G
+            # tiles has transmittance <= T_EPS, later chunks contribute
+            # exactly zero weight (the `below` mask in
+            # `composite_chunk_grouped`), so skipping them changes only the
+            # dead trans value (already <= 1e-4; its bg-blend residue is
+            # below render tolerance). This is the TPU analog of the CUDA
+            # rasterizer's per-pixel early termination — at group
+            # granularity because the group is the unit of real control
+            # flow (`lax.cond` under `lax.map`). Depth-sorted opaque
+            # content saturates front tiles after the first chunk or two.
+            live = jnp.max(st.trans) > T_EPS
+            nxt = jax.lax.cond((c < active) & live, run, lambda s: s, st)
             return nxt, (st if keep_entries else None)
 
         state, entries = jax.lax.scan(chunk_body, init_pixel_state_g(G, P),
@@ -865,21 +931,25 @@ def _composite_frame_bwd(static, res, ct):
 
         def chunk_bwd(carry, c_rev):
             c = n_chunks - 1 - c_rev
+            s_in = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, c, 0, keepdims=False), entries_g)
 
             def run(args):
-                ct_st, ctp = args
-                s_in = jax.tree.map(
-                    lambda a: jax.lax.dynamic_index_in_dim(
-                        a, c, 0, keepdims=False), entries_g)
+                ct_st_, ctp = args
                 ids = slice_ids_bwd(st_g, ct_g, c)
                 d = jnp.take(packed, ids.reshape(-1), axis=1)
                 d = d.reshape(PACKED_F, G, chunk)
-                ct_s_in, ct_d = _chunk_backward(s_in, px, py, d, ct_st)
+                ct_s_in, ct_d = _chunk_backward(s_in, px, py, d, ct_st_)
                 ctp = ctp.at[:, ids.reshape(-1)].add(
                     ct_d.reshape(PACKED_F, G * chunk))
                 return ct_s_in, ctp
 
-            new = jax.lax.cond(c < active, run, lambda a: a, carry)
+            # Executed-chunk predicate MUST match the forward exactly: the
+            # saturation test on the stored ENTRY state is the same value
+            # the forward's carry held before chunk c.
+            live = jnp.max(s_in.trans) > T_EPS
+            new = jax.lax.cond((c < active) & live, run, lambda a: a, carry)
             return new, None
 
         def slice_ids_bwd(st_g_, ct_g_, c):

@@ -22,6 +22,7 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _masked_mean(d: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -75,14 +76,22 @@ class _PerceptualNet(nn.Module):
 @functools.lru_cache(maxsize=2)
 def _perceptual_params(seed: int = 0):
     net = _PerceptualNet()
-    # ensure_compile_time_eval: this may be reached inside a jit trace (the
-    # loss fn); the fixed random params must be concrete, not tracers.
-    # Conv params are spatial-size independent, so init at a tiny dummy
-    # resolution — initialising at the caller's H×W ran a full-res forward
-    # on the device mid-trace and OOMed the 512² release-scale step.
-    with jax.ensure_compile_time_eval():
+    # The fixed random params must be concrete (this is reached inside the
+    # jit trace of the loss fn), and must be built WITHOUT touching the
+    # accelerator: an eager on-device init mid-trace allocates while the
+    # step's params/optimizer already fill HBM (observed RESOURCE_EXHAUSTED
+    # tracing the 512² release-scale step on v5e). Conv params are
+    # spatial-size independent, so init at a tiny dummy resolution on the
+    # HOST CPU backend; jit moves the constants to device with the rest of
+    # the executable's constant pool.
+    cpu = jax.local_devices(backend="cpu")[0]
+    # ensure_compile_time_eval ESCAPES any enclosing trace (a nested jit
+    # would just inherit it and hand back tracers); default_device routes
+    # the eager init to the host backend.
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
         params = net.init(jax.random.PRNGKey(seed),
                           jnp.zeros((1, 32, 32, 3)))
+    params = jax.tree.map(np.asarray, params)
     return net, params
 
 

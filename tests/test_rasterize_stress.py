@@ -288,3 +288,91 @@ class TestSortKeyPaths:
             a = np.asarray(p1)[starts[t]:starts[t] + counts[t]]
             b = np.asarray(p2)[starts[t]:starts[t] + counts[t]]
             np.testing.assert_array_equal(a, b)
+
+
+class TestSaturationEarlyExit:
+    """Transmittance flush-to-zero + group-level chunk early exit.
+
+    A depth-stacked wall of near-opaque splats saturates interior pixels
+    after a handful of splats; the tiled path then SKIPS the remaining
+    chunks of those groups (the CUDA rasterizer's per-pixel `T < 1e-4`
+    termination, at group granularity). The skip must be invisible:
+    tiled == oracle within the usual parity tolerance, saturated pixels'
+    transmittance flushes to exactly zero (image == rgb with NO bg
+    residue), and gradients stay finite and path-consistent."""
+
+    def _wall(self, n_layers=24, side=12, op=0.9):
+        xs = np.linspace(-0.3, 0.3, side, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        layers = []
+        rng = np.random.default_rng(3)
+        for i in range(n_layers):
+            z = -0.2 + 0.4 * i / n_layers
+            xyz = np.stack([gx.ravel(), gy.ravel(),
+                            np.full(side * side, z, np.float32)], -1)
+            xyz[:, :2] += rng.normal(0, 0.01, (side * side, 2))
+            layers.append(xyz)
+        xyz = np.concatenate(layers).astype(np.float32)
+        n = xyz.shape[0]
+        return pack_gaussians(GaussianSplats(
+            xyz=jnp.asarray(xyz),
+            opacity=jnp.full((n, 1), op, jnp.float32),
+            scale=jnp.full((n, 2), 0.06, jnp.float32),
+            rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+            rgb=jnp.asarray(
+                np.random.default_rng(4).uniform(0.1, 0.9, (n, 3))
+                .astype(np.float32))))
+
+    def test_saturated_matches_oracle(self):
+        cam = make_camera(0, 0)
+        g = self._wall()
+        H = 64
+        got = render_tiled(g, cam, H, tile=16, max_per_tile=2048, chunk=64,
+                           tile_group=4)
+        ref = rz.rasterize_naive(g, cam["cam_view"], cam["cam_view_proj"],
+                                 cam["tanfov"], H, H, BG, chunk=64,
+                                 pixel_block=H * H)
+        # the scene actually saturates (otherwise the test is vacuous)
+        assert float(jnp.max(got["alpha"])) > 0.9999
+        for k in got:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]),
+                                       atol=2e-4, err_msg=k)
+
+    def test_flush_to_zero_kills_bg_residue(self):
+        cam = make_camera(0, 0)
+        g = self._wall()
+        H = 64
+        out = render_tiled(g, cam, H, tile=16, max_per_tile=2048, chunk=64,
+                           tile_group=4)
+        # saturated pixels: alpha == 1 would only hold with infinite
+        # splats; flush means image has NO white-bg leak, so on the most
+        # saturated pixel image <= rgb-accumulation max (all rgb < 0.9)
+        amax = np.unravel_index(int(jnp.argmax(out["alpha"])),
+                                out["alpha"].shape)
+        assert float(out["alpha"][amax]) > 0.9999
+        # with flush, image == accumulated rgb exactly (bg weight is 0)
+        resid = float(jnp.max(out["image"][amax]))
+        assert resid < 0.95  # white bg (1.0) would push this to ~1
+
+    def test_grads_finite_and_paths_agree(self):
+        cam = make_camera(0, 0)
+        g = self._wall(n_layers=10, side=8)
+        H = 32
+
+        def loss_tiled(x):
+            o = render_tiled(x, cam, H, tile=16, max_per_tile=512,
+                             chunk=64, tile_group=2)
+            return o["image"].sum() + o["dist"].sum() + o["alpha"].sum()
+
+        def loss_naive(x):
+            o = rz.rasterize_naive(x, cam["cam_view"],
+                                   cam["cam_view_proj"], cam["tanfov"],
+                                   H, H, BG, chunk=64, pixel_block=H * H)
+            return o["image"].sum() + o["dist"].sum() + o["alpha"].sum()
+
+        gt = jax.grad(loss_tiled)(g)
+        gn = jax.grad(loss_naive)(g)
+        assert bool(jnp.isfinite(gt).all()) and bool(jnp.isfinite(gn).all())
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gn),
+                                   rtol=1e-3, atol=5e-4)

@@ -65,7 +65,34 @@ def main():
     _, sp = timed("preprocess", pre, *args)
 
     binf = jax.jit(lambda s: rz.build_tile_pairs(s, res, res, tile, mpt))
-    timed("binning (build_tile_pairs)", binf, sp)
+    _, binned = timed("binning (build_tile_pairs)", binf, sp)
+
+    # composite-only: preprocess + binning passed in precomputed, so this
+    # jit contains ONLY pack + the group/chunk loop + detile. The frame
+    # minus this is the true in-frame preprocess+binning cost (standalone
+    # phase timings above are dispatch-bound at sub-ms scales).
+    import jax.numpy as _jnp
+    import math as _math
+
+    def composite_only(sp_, pairs, starts, counts):
+        tiles_x = res // tile
+        n_tiles = tiles_x * tiles_x
+        G = _math.gcd(group, n_tiles)
+        order = _jnp.argsort(-counts)
+        counts_s = _jnp.take(counts, order)
+        gmax = counts_s[::G]
+        n_act = (gmax + chunk - 1) // chunk
+        tx_s = (order % tiles_x).astype(_jnp.float32)
+        ty_s = (order // tiles_x).astype(_jnp.float32)
+        packed = rz.pack_splat_render(sp_)
+        packed = _jnp.concatenate(
+            [packed, _jnp.zeros((rz.PACKED_F, 1), _jnp.float32)], axis=1)
+        starts_s = _jnp.take(starts, order)
+        return rz._composite_frame((tile, G, chunk, mpt // chunk), packed,
+                                   pairs, starts_s, counts_s, n_act,
+                                   tx_s, ty_s, _jnp.asarray(0.0)).rgb
+    comp = jax.jit(composite_only)
+    timed("composite only", comp, sp, *binned)
 
     # -- full forward --------------------------------------------------------
     fwd = jax.jit(lambda *a: rz.rasterize_tiled(
