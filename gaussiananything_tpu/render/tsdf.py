@@ -36,19 +36,24 @@ def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
     voxel = 2 * bound / D
     trunc = trunc_voxels * voxel
     lin = (jnp.arange(D, dtype=jnp.float32) + 0.5) / D * 2 * bound - bound
-    gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
-    pts = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], -1).reshape(-1, 4)
+    gxx, gyy, gzz = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    # COMPONENT-VECTOR form throughout: every voxel-sized array is (N,).
+    # (N, 3)/(N, 4) arrays at N = D³ get the (8, 128) tile layout with the
+    # minor dim padded 3→128 — a 42.7× memory expansion (measured: four
+    # 8 GB buffers for 192 MB of color data → compile-time OOM at D=256).
+    gx = gxx.reshape(-1)
+    gy = gyy.reshape(-1)
+    gz = gzz.reshape(-1)
 
     H, W = depths.shape[-2:]
 
-    def bilinear(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray
-                 ) -> jnp.ndarray:
-        """Sample (C, H, W) at continuous pixel coords → (N, C).
+    def bilinear_weights(u, v):
+        """Continuous pixel coords → 4 corner (index, weight) pairs.
 
-        Bilinear interpolation with edge clamping — matches Open3D's TSDF
-        image sampling (`nsr/lsgm/flow_matching_trainer.py:1338-1343` uses
-        o3d integrate); corners are validity-weighted by the caller's
-        `seen` test, so depth-edge ghosts get culled by the alpha gate.
+        Edge-clamped bilinear, matching Open3D's TSDF image sampling
+        (`nsr/lsgm/flow_matching_trainer.py:1338-1343` uses o3d
+        integrate); corners are validity-weighted by the caller's `seen`
+        test, so depth-edge ghosts get culled by the alpha gate.
         """
         u0 = jnp.floor(u)
         v0 = jnp.floor(v)
@@ -58,45 +63,50 @@ def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
         u1i = jnp.clip(u0i + 1, 0, W - 1)
         v0i = jnp.clip(v0.astype(jnp.int32), 0, H - 1)
         v1i = jnp.clip(v0i + 1, 0, H - 1)
-        w00 = (1 - fu) * (1 - fv)
-        w10 = fu * (1 - fv)
-        w01 = (1 - fu) * fv
-        w11 = fu * fv
-        g = (img[:, v0i, u0i] * w00 + img[:, v0i, u1i] * w10
-             + img[:, v1i, u0i] * w01 + img[:, v1i, u1i] * w11)
-        return g.T                                       # (N, C)
+        flat = [v0i * W + u0i, v0i * W + u1i, v1i * W + u0i, v1i * W + u1i]
+        wts = [(1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv]
+        return flat, wts
+
+    def sample(chan_flat, flat, wts):
+        """(H·W,) flattened channel sampled at the 4 corners → (N,)."""
+        return sum(jnp.take(chan_flat, f) * w for f, w in zip(flat, wts))
 
     def integrate_one(carry, inp):
-        tsdf, weight, color = carry
+        tsdf, weight, c0, c1, c2 = carry
         depth, rgb, alpha, cv = inp
-        # camera-matrix product pinned fp32 (CLAUDE.md: TPU MXU rounds
-        # inputs to bf16 at default precision; ~7e-3 z error ≈ one voxel)
-        view = jnp.matmul(pts, cv,
-                          precision=jax.lax.Precision.HIGHEST)  # (N, 4)
-        z = view[:, 2]
-        px = view[:, 0] / (z * tanfov)                   # ndc x in [-1,1]
-        py = view[:, 1] / (z * tanfov)
+        # camera products as scalar-broadcast fma on (N,) vectors: exact
+        # fp32 (no MXU bf16 input rounding — CLAUDE.md precision notes;
+        # ~7e-3 z error ≈ one voxel at D=160) and no (N, 4) padding.
+        vx = gx * cv[0, 0] + gy * cv[1, 0] + gz * cv[2, 0] + cv[3, 0]
+        vy = gx * cv[0, 1] + gy * cv[1, 1] + gz * cv[2, 1] + cv[3, 1]
+        z = gx * cv[0, 2] + gy * cv[1, 2] + gz * cv[2, 2] + cv[3, 2]
+        px = vx / (z * tanfov)                           # ndc x in [-1,1]
+        py = vy / (z * tanfov)
         u = ((px + 1) * 0.5 * W - 0.5)
         v = ((py + 1) * 0.5 * H - 0.5)
         in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0.05)
-        d_px = bilinear(depth, u, v)[:, 0]
-        a_px = bilinear(alpha, u, v)[:, 0]
-        rgb_px = bilinear(rgb, u, v)                     # (N, 3)
+        flat, wts = bilinear_weights(u, v)
+        d_px = sample(depth.reshape(-1), flat, wts)
+        a_px = sample(alpha.reshape(-1), flat, wts)
         seen = in_img & (a_px > alpha_thres) & (d_px > 0.05)
         sdf = d_px - z
         w_new = jnp.where(seen & (sdf > -trunc), 1.0, 0.0)
         sdf_c = jnp.clip(sdf / trunc, -1.0, 1.0)
         new_w = weight + w_new
-        tsdf = (tsdf * weight + sdf_c * w_new) / jnp.maximum(new_w, 1e-8)
-        color = (color * weight[:, None] + rgb_px * w_new[:, None]) \
-            / jnp.maximum(new_w[:, None], 1e-8)
-        return (tsdf, new_w, color), None
+        inv_w = 1.0 / jnp.maximum(new_w, 1e-8)
+        tsdf = (tsdf * weight + sdf_c * w_new) * inv_w
+        cs = [sample(rgb[c].reshape(-1), flat, wts) for c in range(3)]
+        c0 = (c0 * weight + cs[0] * w_new) * inv_w
+        c1 = (c1 * weight + cs[1] * w_new) * inv_w
+        c2 = (c2 * weight + cs[2] * w_new) * inv_w
+        return (tsdf, new_w, c0, c1, c2), None
 
-    init = (jnp.ones((D ** 3,)), jnp.zeros((D ** 3,)),
-            jnp.zeros((D ** 3, 3)))
-    (tsdf, weight, color), _ = jax.lax.scan(
+    zeros = jnp.zeros((D ** 3,))
+    init = (jnp.ones((D ** 3,)), zeros, zeros, zeros, zeros)
+    (tsdf, weight, c0, c1, c2), _ = jax.lax.scan(
         integrate_one, init, (depths, colors, alphas, cam_view))
     tsdf = jnp.where(weight > 0, tsdf, 1.0)
+    color = jnp.stack([c0, c1, c2], -1)
     return tsdf.reshape(D, D, D), color.reshape(D, D, D, 3)
 
 
