@@ -65,8 +65,13 @@ def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
         # world-space normal: row-vector view → world rotation is cv[:3,:3]
         # applied inverse ⇒ n_world = n_view @ cv[:3,:3].T  (parity with
         # `nsr/gs_surfel.py:128`, which right-multiplies by view_matrix[:3,:3].T).
-        n_world = jnp.matmul(out["normal_view"], cv[:3, :3].T,
-                             precision=jax.lax.Precision.HIGHEST)
+        # Componentwise on (H, W) planes: a (H, W, 3) matmul both pads the
+        # minor dim 3→128 (T(8,128) layout) and rounds MXU inputs to bf16
+        # at default precision; scalar-broadcast fma is exact fp32.
+        nv = [out["normal_view"][..., i] for i in range(3)]
+        n_world = jnp.stack(
+            [nv[0] * cv[j, 0] + nv[1] * cv[j, 1] + nv[2] * cv[j, 2]
+             for j in range(3)], axis=-1)
         alpha = out["alpha"][..., None]
         depth_exp = out["depth_expected"][..., None] / jnp.maximum(alpha, 1e-10)
         depth_exp = jnp.where(alpha > 1e-6, depth_exp, 0.0)

@@ -269,19 +269,32 @@ def depth_to_normal(depth: jnp.ndarray, cam_view: jnp.ndarray,
     gx, gy = jnp.meshgrid(xs, ys)
 
     def one(d, cv, tf):
-        # view-space points
+        # Componentwise on (H, W) planes: (H, W, 3) stacks/matmuls pad the
+        # minor dim 3→128 under the TPU (8,128) tile layout and round MXU
+        # inputs to bf16 at default precision; scalar fma chains are exact
+        # fp32 and full-lane. Runs at 512² inside the release train step.
         z = d[0]
         x = gx * tf * z
         y = gy * tf * z
-        pts_view = jnp.stack([x, y, z], -1)                    # (H, W, 3)
         R = cv[:3, :3]  # row-vector world→view (pure rotation: inv = .T)
-        pts_world = jnp.matmul(pts_view - cv[3, :3], R.T,
-                               precision=jax.lax.Precision.HIGHEST)
-        dx = jnp.diff(pts_world, axis=1, append=pts_world[:, -1:])
-        dy = jnp.diff(pts_world, axis=0, append=pts_world[-1:])
-        n = jnp.cross(dx, dy)
-        n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
-        return jnp.moveaxis(n, -1, 0)                          # (3, H, W)
+        # world point: (p_view − t) @ R.T, per world component j
+        pv = (x - cv[3, 0], y - cv[3, 1], z - cv[3, 2])
+        pw = [pv[0] * R[j, 0] + pv[1] * R[j, 1] + pv[2] * R[j, 2]
+              for j in range(3)]
+
+        def diff_w(p):   # ∂/∂x (append-last: zero at the right edge)
+            return jnp.diff(p, axis=1, append=p[:, -1:])
+
+        def diff_h(p):
+            return jnp.diff(p, axis=0, append=p[-1:])
+
+        dx = [diff_w(p) for p in pw]
+        dy = [diff_h(p) for p in pw]
+        n0 = dx[1] * dy[2] - dx[2] * dy[1]
+        n1 = dx[2] * dy[0] - dx[0] * dy[2]
+        n2 = dx[0] * dy[1] - dx[1] * dy[0]
+        inv = jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-12)
+        return jnp.stack([n0 * inv, n1 * inv, n2 * inv], 0)    # (3, H, W)
 
     out = jax.vmap(jax.vmap(one))(depth, cam_view,
                                   jnp.broadcast_to(tanfov, (B, V)))
