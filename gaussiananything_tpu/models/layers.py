@@ -19,8 +19,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Above this many score-matrix elements per (batch, head), attention is
+# computed in query blocks (exact same math, lax.scan + remat) instead of
+# one materialised (T, S) matrix. 16k-token joint-view encoder attention at
+# 512² otherwise allocates 2× f32[B·H, 16384, 16384] = 16 GB in the train
+# step (measured OOM on v5e); xformers' memory_efficient_attention plays
+# this role in the reference (`ldm/modules/attention.py:376-419`).
+_SCORES_BLOCK_THRESHOLD = 4096 * 4096
+_QUERY_BLOCK = 2048
+
+
+def _blocked_attention(q, k, v):
+    """Exact attention, scanned over query blocks. q,k,v: (B, T/S, H, D)."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    qb = _QUERY_BLOCK
+    pad = (-T) % qb
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_blocks = q.shape[1] // qb
+    qs = q.reshape(B, n_blocks, qb, H, D).transpose(1, 0, 2, 3, 4)
+
+    @jax.checkpoint
+    def block(q_blk):
+        # (B, qb, H, D) @ (B, S, H, D) → (B, H, qb, S), fp32 softmax
+        s = jnp.einsum("bqhd,bshd->bhqs", q_blk, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqs,bshd->bqhd", p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32
+                          ).astype(q_blk.dtype)
+
+    out = jax.lax.map(block, qs)                   # (n_blocks, B, qb, H, D)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(B, n_blocks * qb, H, D)
+    return out[:, :T]
+
+
 def dot_attention(q, k, v, dtype=None):
-    """q,k,v: (B, T, H, D). fp32 accumulation, bf16 in/out friendly."""
+    """q,k,v: (B, T, H, D). fp32 accumulation, bf16 in/out friendly.
+
+    Long sequences route through `_blocked_attention` (O(T·qb) score
+    memory); short ones through `jax.nn.dot_product_attention`, whose XLA
+    lowering materialises (T, S) scores but fuses best at DiT-scale.
+    """
+    if q.shape[1] * k.shape[1] > _SCORES_BLOCK_THRESHOLD:
+        return _blocked_attention(q, k, v)
     return jax.nn.dot_product_attention(q, k, v)
 
 

@@ -94,6 +94,56 @@ def main():
     comp = jax.jit(composite_only)
     timed("composite only", comp, sp, *binned)
 
+    # -- in-jit ablation (reliable phase split) -----------------------------
+    # Standalone sub-ms phase jits above read at the tunnel dispatch floor
+    # (~0.05 ms) regardless of work — attribute instead by DIFFERENCES of
+    # full-frame variants, all of which return scalars (forced execution,
+    # no transfer):
+    #   A = preprocess+pack+binning (+count sort)      [reduce-sum outputs]
+    #   B = A + composite loop                          [reduce-sum state]
+    #   C = full frame (B + detile/undo-sort)           [reduce-sum maps]
+    if "--ablate" in sys.argv:
+        def variant_a(g_, cv, cvp, tf):
+            sp_ = rz.preprocess_splats(g_, cv, cvp, res, res, tf)
+            pairs, starts, counts = rz.build_tile_pairs(sp_, res, res, tile,
+                                                        mpt)
+            packed = rz.pack_splat_render(sp_)
+            order = _jnp.argsort(-counts)
+            return (packed.sum() + pairs.sum() + _jnp.take(starts, order).sum()
+                    + counts.sum())
+
+        def variant_b(g_, cv, cvp, tf):
+            sp_ = rz.preprocess_splats(g_, cv, cvp, res, res, tf)
+            pairs, starts, counts = rz.build_tile_pairs(sp_, res, res, tile,
+                                                        mpt)
+            tiles_x = res // tile
+            n_tiles = tiles_x * tiles_x
+            G = _math.gcd(group, n_tiles)
+            order = _jnp.argsort(-counts)
+            counts_s = _jnp.take(counts, order)
+            n_act = (counts_s[::G] + chunk - 1) // chunk
+            packed = rz.pack_splat_render(sp_)
+            packed = _jnp.concatenate(
+                [packed, _jnp.zeros((rz.PACKED_F, 1), _jnp.float32)], axis=1)
+            st = rz._composite_frame(
+                (tile, G, chunk, mpt // chunk), packed, pairs,
+                _jnp.take(starts, order), counts_s, n_act,
+                (order % tiles_x).astype(_jnp.float32),
+                (order // tiles_x).astype(_jnp.float32), _jnp.asarray(0.0))
+            return sum(_jnp.sum(leaf) for leaf in jax.tree.leaves(st))
+
+        def variant_c(g_, cv, cvp, tf):
+            o = rz.rasterize_tiled(g_, cv, cvp, tf, bg, res, res, tile=tile,
+                                   max_per_tile=mpt, chunk=chunk,
+                                   tile_group=group)
+            return sum(_jnp.sum(leaf) for leaf in jax.tree.leaves(o))
+
+        ta, _ = timed("A: pre+pack+bin+sort", jax.jit(variant_a), *args)
+        tb, _ = timed("B: A + composite", jax.jit(variant_b), *args)
+        tc, _ = timed("C: full frame", jax.jit(variant_c), *args)
+        print(f"{'composite (B-A)':>28}: {(tb-ta)*1e3:8.2f} ms", flush=True)
+        print(f"{'detile (C-B)':>28}: {(tc-tb)*1e3:8.2f} ms", flush=True)
+
     # -- full forward --------------------------------------------------------
     fwd = jax.jit(lambda *a: rz.rasterize_tiled(
         *a, bg, res, res, tile=tile, max_per_tile=mpt, chunk=chunk,
