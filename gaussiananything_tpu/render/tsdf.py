@@ -106,8 +106,11 @@ def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
     (tsdf, weight, c0, c1, c2), _ = jax.lax.scan(
         integrate_one, init, (depths, colors, alphas, cam_view))
     tsdf = jnp.where(weight > 0, tsdf, 1.0)
-    color = jnp.stack([c0, c1, c2], -1)
-    return tsdf.reshape(D, D, D), color.reshape(D, D, D, 3)
+    # channel-LEADING on device: a (D³, 3) stack gets the (8, 128) tile
+    # layout with 3→128 lane padding — 8.6 GB at D=256, a runtime OOM that
+    # killed the TPU worker. Callers host-transpose to (D, D, D, 3).
+    color = jnp.stack([c0, c1, c2], 0)
+    return tsdf.reshape(D, D, D), color.reshape(3, D, D, D)
 
 
 def surface_nets(tsdf: np.ndarray, color: Optional[np.ndarray] = None,
@@ -207,10 +210,11 @@ def export_mesh_from_gaussians(path: str, gaussians: jnp.ndarray,
     tsdf, color = integrate_tsdf(
         out["depth"][0], out["image"][0], out["alpha"][0],
         cam["cam_view"], cam["tanfov"][0], resolution=resolution)
-    # native C++ extractor when built; python fallback otherwise
+    # native C++ extractor when built; python fallback otherwise.
+    # (channel-leading device color → host transpose to (D, D, D, 3))
     from gaussiananything_tpu import native_bindings
     verts, faces, vcol = native_bindings.surface_nets(
-        np.asarray(tsdf), np.asarray(color))
+        np.asarray(tsdf), np.moveaxis(np.asarray(color), 0, -1))
     if path.endswith(".obj"):
         with open(path, "w") as f:
             for v in verts:

@@ -56,7 +56,13 @@ def main():
             out = fn(*a)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
-        print(f"{name:>28}: {dt*1e3:8.2f} ms", flush=True)
+        # value digest: catches silently-elided / garbage executions (a
+        # sub-ms reading through the tunnel is otherwise unverifiable)
+        leaves = jax.tree.leaves(out)
+        digest = float(jnp.asarray(leaves[0]).ravel()[:4096].astype(
+            jnp.float32).sum()) if leaves else float("nan")
+        print(f"{name:>28}: {dt*1e3:8.2f} ms   [digest {digest:.6g}]",
+              flush=True)
         return dt, out
 
     # -- phases ------------------------------------------------------------
