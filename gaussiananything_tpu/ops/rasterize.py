@@ -661,7 +661,15 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
         farthest-first drop).
 
     `big_capacity=0` → auto: exact single-pass behaviour for N ≤ 16384
-    (capacity = N: sorting is cheap there), else max(N // 8, 12288).
+    (capacity = N: sorting is cheap there), else max(N // 16, 4096).
+    The (tile, rank) co-sort is the binning pipeline's dominant cost
+    (~10 ms of a ~25 ms frame at 512²/73k, measured by in-jit ablation)
+    and its size is slot-count-bound, so the big bucket's 36 slots/entry
+    must not be over-provisioned: release-shape scenes measure ~3% big
+    splats (2151/73728 on the bench sphere), so N//16 leaves >2×
+    headroom; beyond capacity the degradation is the graceful partial
+    2×2 fallback (stress-tested). Callers with big-splat-heavy content
+    pass an explicit capacity (`rasterize_tiled(big_capacity=…)`).
 
     Within-tile depth order is restored by co-sorting on the lexicographic
     (tile, depth-rank) key — reproducing the CUDA (tile | depth) radix
@@ -679,7 +687,7 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     n_tiles = tiles_x * tiles_y
     N = sp.center_z.shape[0]
     if big_capacity <= 0:
-        big_capacity = N if N <= 16384 else max(N // 8, 12288)
+        big_capacity = N if N <= 16384 else max(N // 16, 4096)
     big_capacity = min(big_capacity, N)
 
     order = jnp.argsort(jnp.where(sp.valid, sp.center_z, jnp.inf))
@@ -978,13 +986,14 @@ _composite_frame.defvjp(_composite_frame_fwd, _composite_frame_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
-                     "tile_group", "full_h"))
+                     "tile_group", "full_h", "big_capacity"))
 def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                     cam_view_proj: jnp.ndarray, tanfov,
                     bg_color: jnp.ndarray, img_h: int, img_w: int,
                     tile: int = 16, max_per_tile: int = 1024,
                     chunk: int = 256, tile_group: int = 32,
-                    full_h: int = 0, row0=0) -> Dict[str, jnp.ndarray]:
+                    full_h: int = 0, row0=0,
+                    big_capacity: int = 0) -> Dict[str, jnp.ndarray]:
     """Production renderer: one view, N splats, (img_h, img_w) output.
 
     Differentiable: the compositing loop carries a hand-managed reverse-scan
@@ -1002,7 +1011,7 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                            full_h or img_h, img_w, tanfov)
     pairs, starts, counts = build_tile_pairs(
         jax.tree.map(jax.lax.stop_gradient, sp), img_h, img_w, tile,
-        max_per_tile, row0=row0)
+        max_per_tile, row0=row0, big_capacity=big_capacity)
     tiles_x = img_w // tile
     tiles_y = img_h // tile
     n_tiles = tiles_x * tiles_y
@@ -1048,15 +1057,25 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     out = _state_to_outputs(state, bg_color)                # leaves (ng,G,P,…)
 
     # leaves: (n_groups, G, P, C…) in sorted-tile order → undo the sort,
-    # then detile to (H, W, C…).
+    # then detile to (H, W, C…). ONE fused gather/relayout over all 10
+    # output channels (six per-map take+transpose passes measured ~3.8 ms
+    # of the frame by in-jit ablation; the combined pass roughly halves
+    # that).
     inv = jax.lax.stop_gradient(jnp.argsort(order))
+    keys = ["image", "alpha", "depth_expected", "depth_median",
+            "normal_view", "dist"]
+    widths = [(out[k].shape[3] if out[k].ndim == 4 else 1) for k in keys]
+    stacked = jnp.concatenate(
+        [out[k].reshape(n_tiles, P, w) for k, w in zip(keys, widths)],
+        axis=-1)                                            # (n_tiles, P, 10)
+    stacked = jnp.take(stacked, inv, axis=0)
+    stacked = stacked.reshape(tiles_y, tiles_x, tile, tile, -1)
+    stacked = jnp.moveaxis(stacked, 2, 1)   # (ty, tile_h, tx, tile_w, C)
+    stacked = stacked.reshape(img_h, img_w, -1)
 
-    def detile(a):
-        c_shape = a.shape[3:]
-        a = a.reshape(n_tiles, P, *c_shape)
-        a = jnp.take(a, inv, axis=0)
-        a = a.reshape(tiles_y, tiles_x, tile, tile, *c_shape)
-        a = jnp.moveaxis(a, 2, 1)  # (ty, tile_h, tx, tile_w, C)
-        return a.reshape(img_h, img_w, *c_shape)
-
-    return jax.tree.map(detile, out)
+    res, off = {}, 0
+    for k, w in zip(keys, widths):
+        sl = stacked[..., off:off + w]
+        res[k] = sl if out[k].ndim == 4 else sl[..., 0]
+        off += w
+    return res

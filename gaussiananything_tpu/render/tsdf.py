@@ -14,6 +14,7 @@ Python voxel loops). Mesh extraction runs on host via naive surface nets
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -21,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnames=("resolution", "bound",
+                                             "trunc_voxels", "alpha_thres"))
 def integrate_tsdf(depths: jnp.ndarray, colors: jnp.ndarray,
                    alphas: jnp.ndarray, cam_view: jnp.ndarray,
                    tanfov: jnp.ndarray, resolution: int = 128,
