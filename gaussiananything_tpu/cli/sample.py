@@ -273,9 +273,14 @@ def main(argv=None):
                 from gaussiananything_tpu.render.tsdf import \
                     export_mesh_from_gaussians
                 t0 = _time.perf_counter()
+                # 176³ = reference parity: voxel = radius/160 over the
+                # [-0.45, 0.45]³×1.1 aabb (`nsr/lsgm/flow_matching_trainer
+                # .py:1338-1343`) ⇒ D = 0.99/(0.9/160) ≈ 176. (256³ also
+                # trips an axon-runtime worker fault at 16.7M-element
+                # fused ops — see ROUND_NOTES.)
                 export_mesh_from_gaussians(
                     os.path.join(args.out, f"mesh_{i}.glb"), fin[0],
-                    resolution=cfg.render.output_size // 2)
+                    resolution=176)
                 _mark("TSDF fuse + surface nets", t0)
     print("done")
 

@@ -723,19 +723,28 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     rank = jnp.arange(N, dtype=jnp.int32)                   # depth rank
 
     # Compact big splats (depth order preserved by the monotone cumsum).
+    # Compaction is a GATHER (searchsorted on the inclusive big-count for
+    # each slot), not a scatter: the scatter form sent every non-selected
+    # splat to one overflow slot — ~N colliding updates that serialise the
+    # TPU scatter unit (measured as the bulk of the binning phase).
     is_big = valid & ((span_x > 2) | (span_y > 2))
-    pos = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    incl = jnp.cumsum(is_big.astype(jnp.int32))             # (N,) inclusive
+    n_big = incl[-1]
+    pos = incl - 1
     sel = is_big & (pos < big_capacity)
-    slot = jnp.where(sel, pos, big_capacity)                # overflow bin
+    slots_b = jnp.arange(big_capacity + 1, dtype=jnp.int32)
+    # slot s ← first splat index with incl == s+1 (exactly the (s+1)-th big)
+    src = jnp.searchsorted(incl, slots_b + 1, side="left")
+    b_valid = slots_b < jnp.minimum(n_big, big_capacity)
+    src = jnp.where(b_valid, src, 0)
 
     def compact(a):
-        return jnp.zeros((big_capacity + 1,), a.dtype).at[slot].set(
-            jnp.where(sel, a, jnp.zeros((), a.dtype)))
+        return jnp.where(b_valid, jnp.take(a, src),
+                         jnp.zeros((), a.dtype))
 
     b_tx0, b_ty0 = compact(tx0), compact(ty0)
     b_span_x, b_span_y = compact(span_x), compact(span_y)
     b_rank, b_splat = compact(rank), compact(order)
-    b_valid = compact(sel)
 
     # SMALL bucket: 4 slots over a 2×2 window; unselected bigs fall back
     # to their top-left 2×2 (partial coverage).
@@ -945,11 +954,22 @@ def _composite_frame_bwd(static, res, ct):
 
             def run(args):
                 ct_st_, ctp = args
-                ids = slice_ids_bwd(st_g, ct_g, c)
-                d = jnp.take(packed, ids.reshape(-1), axis=1)
+                ids, in_range = slice_ids_bwd(st_g, ct_g, c)
+                d = jnp.take(packed,
+                             jnp.where(in_range, ids, N_dummy).reshape(-1),
+                             axis=1)
                 d = d.reshape(PACKED_F, G, chunk)
                 ct_s_in, ct_d = _chunk_backward(s_in, px, py, d, ct_st_)
-                ctp = ctp.at[:, ids.reshape(-1)].add(
+                # Dead slots get UNIQUE scratch columns (N_dummy+1+slot)
+                # rather than all aliasing the one dummy column: a TPU
+                # scatter-add serialises on duplicate indices, and at
+                # chunk > count half the slots can be dead — all colliding
+                # on one column.
+                scratch = N_dummy + 1 + jnp.arange(G * chunk,
+                                                   dtype=jnp.int32)
+                sc_ids = jnp.where(in_range.reshape(-1), ids.reshape(-1),
+                                   scratch)
+                ctp = ctp.at[:, sc_ids].add(
                     ct_d.reshape(PACKED_F, G * chunk))
                 return ct_s_in, ctp
 
@@ -963,15 +983,17 @@ def _composite_frame_bwd(static, res, ct):
         def slice_ids_bwd(st_g_, ct_g_, c):
             ids = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
                 pairs, s0 + c * chunk, chunk))(st_g_)
-            return jnp.where(c * chunk + j_chunk[None, :] < ct_g_[:, None],
-                             ids, N_dummy)
+            in_range = c * chunk + j_chunk[None, :] < ct_g_[:, None]
+            return ids, in_range
 
         (_, ct_packed), _ = jax.lax.scan(chunk_bwd, (ct_state, ct_packed),
                                          jnp.arange(n_chunks))
         return ct_packed, None
 
-    ct_packed, _ = jax.lax.scan(group_bwd, jnp.zeros_like(packed),
-                                jnp.arange(n_groups))
+    # +G·chunk scratch columns for the unique dead-slot scatter targets
+    wide = jnp.zeros((PACKED_F, packed.shape[1] + G * chunk), jnp.float32)
+    ct_wide, _ = jax.lax.scan(group_bwd, wide, jnp.arange(n_groups))
+    ct_packed = ct_wide[:, :packed.shape[1]]
 
     import numpy as _np
     f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0)    # noqa: E731
