@@ -25,7 +25,18 @@ def _load():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "native", "libganative.so")
     if not os.path.exists(path):
-        return None
+        # Lazy one-shot build: the .so is gitignored, so a fresh checkout
+        # would silently take the pure-python surface-nets fallback —
+        # measured 67 s vs sub-second native at a 176³ grid in the
+        # release cascade.
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.join(root, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
     lib = ctypes.CDLL(path)
     lib.ga_surface_nets.restype = ctypes.c_int
     lib.ga_surface_nets.argtypes = [

@@ -346,6 +346,32 @@ def pack_splat_render(sp: SplatProj) -> jnp.ndarray:
     ], axis=0)
 
 
+def _pair_linear(px: jnp.ndarray, py: jnp.ndarray, data: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Per-pair linear algebra on the MXU: (G,P,3) pixel basis [px, py, 1]
+    times per-splat coefficients → (G, P, 4, K) outputs [p0, p1, p2,
+    depth_num], where depth_num = p0·tz0 + p1·tz1 + p2·tz2 folds the
+    view-depth plane into the same contraction (its coefficients are
+    3 fma over K-sized rows, negligible)."""
+    a = data[0:3]                                           # (3, G, K)
+    b = data[3:6]
+    c = data[6:9]
+    tz0, tz1, tz2 = data[9], data[10], data[11]
+
+    def _tz(rows):
+        return rows[0] * tz0 + rows[1] * tz1 + rows[2] * tz2
+
+    coef = jnp.stack([
+        jnp.stack([a[0], a[1], a[2], _tz(a)], 1),           # px row
+        jnp.stack([b[0], b[1], b[2], _tz(b)], 1),           # py row
+        jnp.stack([c[0], c[1], c[2], _tz(c)], 1),           # const row
+    ], 1)                                                   # (G, 3, 4, K)
+    basis = jnp.stack([px, py, jnp.ones_like(px)], -1)      # (G, P, 3)
+    return jnp.einsum("gpc,gcok->gpok", basis, coef,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
 def init_pixel_state_g(G: int, P: int) -> PixelState:
     z = jnp.zeros((G, P), jnp.float32)
     return PixelState(
@@ -371,31 +397,35 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
     (exact — the diagonal terms cancel), which removes 3 of the 4 per-chunk
     prefix scans.
     """
-    a0, a1, a2 = data[0][:, None, :], data[1][:, None, :], data[2][:, None, :]
-    b0, b1, b2 = data[3][:, None, :], data[4][:, None, :], data[5][:, None, :]
-    c0, c1, c2 = data[6][:, None, :], data[7][:, None, :], data[8][:, None, :]
-    tz0, tz1, tz2 = (data[9][:, None, :], data[10][:, None, :],
-                     data[11][:, None, :])
     cx, cy = data[_PK_CX][:, None, :], data[_PK_CY][:, None, :]
     cz, op = data[_PK_CZ][:, None, :], data[_PK_OP][:, None, :]
 
-    pxe = px[..., None]                                     # (G, P, 1)
-    pye = py[..., None]
-    p0 = pxe * a0 + pye * b0 + c0                           # (G, P, K)
-    p1 = pxe * a1 + pye * b1 + c1
-    p2 = pxe * a2 + pye * b2 + c2
+    # MXU offload of the per-pair LINEAR algebra: the plane evaluations
+    # p0/p1/p2 and the 3D depth NUMERATOR (p·t_z) are (P, 3) @ (3, 4K)
+    # per tile — systolic-array work that otherwise costs ~8 VPU passes
+    # per pair-pixel. Precision.HIGHEST is mandatory: at DEFAULT the MXU
+    # rounds the INPUTS to bf16 and the knife-edge alpha-keep decisions
+    # flip (see module notes). rho2d stays on the VPU in DIFFERENCE form:
+    # its expanded pixel-basis form (px²+py² − 2cx·px − …) cancels
+    # catastrophically at 512² pixel coordinates. Expression is SHARED
+    # verbatim with `_chunk_backward`'s recompute.
+    lin = _pair_linear(px, py, data)
+    p0, p1, p2 = lin[..., 0, :], lin[..., 1, :], lin[..., 2, :]
+    depth_num = lin[..., 3, :]
     safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
     inv = 1.0 / safe
     u = p0 * inv
     v = p1 * inv
     rho3d = u * u + v * v
 
+    pxe = px[..., None]                                     # (G, P, 1)
+    pye = py[..., None]
     dx = pxe - cx
     dy = pye - cy
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    depth = jnp.where(use3d, u * tz0 + v * tz1 + tz2, cz)
+    depth = jnp.where(use3d, depth_num * inv, cz)
 
     g = jnp.exp(-0.5 * rho) * _rho_window(rho)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
@@ -484,31 +514,27 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     route cotangents to the selected branch; min/clip ties are measure-
     zero and ignored.
     """
-    a0, a1, a2 = data[0][:, None, :], data[1][:, None, :], data[2][:, None, :]
-    b0, b1, b2 = data[3][:, None, :], data[4][:, None, :], data[5][:, None, :]
-    c0, c1, c2 = data[6][:, None, :], data[7][:, None, :], data[8][:, None, :]
-    tz0, tz1, tz2 = (data[9][:, None, :], data[10][:, None, :],
-                     data[11][:, None, :])
+    tz0, tz1, tz2 = data[9], data[10], data[11]             # (G, K)
     cx, cy = data[_PK_CX][:, None, :], data[_PK_CY][:, None, :]
     cz, op = data[_PK_CZ][:, None, :], data[_PK_OP][:, None, :]
 
     # ---- recompute (verbatim fwd expressions) -----------------------------
-    pxe = px[..., None]
-    pye = py[..., None]
-    p0 = pxe * a0 + pye * b0 + c0
-    p1 = pxe * a1 + pye * b1 + c1
-    p2 = pxe * a2 + pye * b2 + c2
+    lin = _pair_linear(px, py, data)
+    p0, p1, p2 = lin[..., 0, :], lin[..., 1, :], lin[..., 2, :]
+    depth_num = lin[..., 3, :]
     safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
     inv = 1.0 / safe
     u = p0 * inv
     v = p1 * inv
     rho3d = u * u + v * v
+    pxe = px[..., None]
+    pye = py[..., None]
     dx = pxe - cx
     dy = pye - cy
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    depth = jnp.where(use3d, u * tz0 + v * tz1 + tz2, cz)
+    depth = jnp.where(use3d, depth_num * inv, cz)
     expw = jnp.exp(-0.5 * rho)
     win = _rho_window(rho)
     g = expw * win
@@ -580,11 +606,8 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
         + ct_m * dm_dz
     ct_depth = jnp.where(keep, ct_depth, 0.0)
     k3 = keep & use3d
-    ct_u = jnp.where(k3, ct_depth * tz0, 0.0)
-    ct_v = jnp.where(k3, ct_depth * tz1, 0.0)
-    ct_tz0 = jnp.sum(jnp.where(k3, ct_depth * u, 0.0), axis=1)    # (G, K)
-    ct_tz1 = jnp.sum(jnp.where(k3, ct_depth * v, 0.0), axis=1)
-    ct_tz2 = jnp.sum(jnp.where(k3, ct_depth, 0.0), axis=1)
+    ct_depth3 = jnp.where(k3, ct_depth, 0.0)
+    ct_num = ct_depth3 * inv                       # depth = depth_num · inv
     ct_cz = jnp.sum(jnp.where(keep & ~use3d, ct_depth, 0.0), axis=1)
 
     # ---- opacity / gaussian-weight chain -----------------------------------
@@ -596,8 +619,8 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     ct_rho = ct_g * (expw * dwin - 0.5 * expw * win)
     ct_rho3d = jnp.where(use3d, ct_rho, 0.0)
     ct_rho2d = jnp.where(use3d, 0.0, ct_rho)
-    ct_u = ct_u + 2.0 * u * ct_rho3d
-    ct_v = ct_v + 2.0 * v * ct_rho3d
+    ct_u = 2.0 * u * ct_rho3d
+    ct_v = 2.0 * v * ct_rho3d
     ct_dx = ct_rho2d * FILTER_INV_SQUARE * 2.0 * dx
     ct_dy = ct_rho2d * FILTER_INV_SQUARE * 2.0 * dy
     ct_cx = -jnp.sum(ct_dx, axis=1)
@@ -606,17 +629,36 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     # ---- projective ray-plane chain ----------------------------------------
     ct_p0 = ct_u * inv
     ct_p1 = ct_v * inv
-    ct_inv = ct_u * p0 + ct_v * p1
+    ct_inv = ct_u * p0 + ct_v * p1 + ct_depth3 * depth_num
     ct_safe = -(inv * inv) * ct_inv
     ct_p2 = jnp.where(jnp.abs(p2) < 1e-9, 0.0, ct_safe)
 
-    def _abc(ct_p):
-        return (jnp.sum(pxe * ct_p, axis=1), jnp.sum(pye * ct_p, axis=1),
-                jnp.sum(ct_p, axis=1))
-
-    ca0, cb0, cc0 = _abc(ct_p0)
-    ca1, cb1, cc1 = _abc(ct_p1)
-    ca2, cb2, cc2 = _abc(ct_p2)
+    # Adjoint of the `_pair_linear` MXU contraction: one einsum gives the
+    # cotangent of every coefficient row at once (replaces nine pxe/pye
+    # reduction passes). coef[c, o] layout matches `_pair_linear`.
+    basis = jnp.stack([pxe[..., 0], pye[..., 0],
+                       jnp.ones_like(pxe[..., 0])], -1)     # (G, P, 3)
+    ct_lin = jnp.stack([ct_p0, ct_p1, ct_p2, ct_num], -2)   # (G, P, 4, K)
+    ct_coef = jnp.einsum("gpc,gpok->gcok", basis, ct_lin,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # (G, 3, 4, K)
+    # depth_num's coefficient column o=3 holds [_tz(a), _tz(b), _tz(c)]:
+    # chain back into a/b/c (· tz_i) and into tz (· a/b/c components).
+    ct_tza = ct_coef[:, 0, 3]
+    ct_tzb = ct_coef[:, 1, 3]
+    ct_tzc = ct_coef[:, 2, 3]
+    ca0 = ct_coef[:, 0, 0] + ct_tza * tz0
+    ca1 = ct_coef[:, 0, 1] + ct_tza * tz1
+    ca2 = ct_coef[:, 0, 2] + ct_tza * tz2
+    cb0 = ct_coef[:, 1, 0] + ct_tzb * tz0
+    cb1 = ct_coef[:, 1, 1] + ct_tzb * tz1
+    cb2 = ct_coef[:, 1, 2] + ct_tzb * tz2
+    cc0 = ct_coef[:, 2, 0] + ct_tzc * tz0
+    cc1 = ct_coef[:, 2, 1] + ct_tzc * tz1
+    cc2 = ct_coef[:, 2, 2] + ct_tzc * tz2
+    ct_tz0 = ct_tza * data[0] + ct_tzb * data[3] + ct_tzc * data[6]
+    ct_tz1 = ct_tza * data[1] + ct_tzb * data[4] + ct_tzc * data[7]
+    ct_tz2 = ct_tza * data[2] + ct_tzb * data[5] + ct_tzc * data[8]
 
     ct_feats = jnp.einsum("gpk,gpc->gkc", w, ct_acc6,
                           precision=jax.lax.Precision.HIGHEST,
