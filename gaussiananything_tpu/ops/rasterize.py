@@ -346,32 +346,6 @@ def pack_splat_render(sp: SplatProj) -> jnp.ndarray:
     ], axis=0)
 
 
-def _pair_linear(px: jnp.ndarray, py: jnp.ndarray, data: jnp.ndarray
-                 ) -> jnp.ndarray:
-    """Per-pair linear algebra on the MXU: (G,P,3) pixel basis [px, py, 1]
-    times per-splat coefficients → (G, P, 4, K) outputs [p0, p1, p2,
-    depth_num], where depth_num = p0·tz0 + p1·tz1 + p2·tz2 folds the
-    view-depth plane into the same contraction (its coefficients are
-    3 fma over K-sized rows, negligible)."""
-    a = data[0:3]                                           # (3, G, K)
-    b = data[3:6]
-    c = data[6:9]
-    tz0, tz1, tz2 = data[9], data[10], data[11]
-
-    def _tz(rows):
-        return rows[0] * tz0 + rows[1] * tz1 + rows[2] * tz2
-
-    coef = jnp.stack([
-        jnp.stack([a[0], a[1], a[2], _tz(a)], 1),           # px row
-        jnp.stack([b[0], b[1], b[2], _tz(b)], 1),           # py row
-        jnp.stack([c[0], c[1], c[2], _tz(c)], 1),           # const row
-    ], 1)                                                   # (G, 3, 4, K)
-    basis = jnp.stack([px, py, jnp.ones_like(px)], -1)      # (G, P, 3)
-    return jnp.einsum("gpc,gcok->gpok", basis, coef,
-                      precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-
-
 def init_pixel_state_g(G: int, P: int) -> PixelState:
     z = jnp.zeros((G, P), jnp.float32)
     return PixelState(
@@ -397,35 +371,38 @@ def composite_chunk_grouped(state: PixelState, px: jnp.ndarray,
     (exact — the diagonal terms cancel), which removes 3 of the 4 per-chunk
     prefix scans.
     """
+    a0, a1, a2 = data[0][:, None, :], data[1][:, None, :], data[2][:, None, :]
+    b0, b1, b2 = data[3][:, None, :], data[4][:, None, :], data[5][:, None, :]
+    c0, c1, c2 = data[6][:, None, :], data[7][:, None, :], data[8][:, None, :]
+    tz0, tz1, tz2 = (data[9][:, None, :], data[10][:, None, :],
+                     data[11][:, None, :])
     cx, cy = data[_PK_CX][:, None, :], data[_PK_CY][:, None, :]
     cz, op = data[_PK_CZ][:, None, :], data[_PK_OP][:, None, :]
 
-    # MXU offload of the per-pair LINEAR algebra: the plane evaluations
-    # p0/p1/p2 and the 3D depth NUMERATOR (p·t_z) are (P, 3) @ (3, 4K)
-    # per tile — systolic-array work that otherwise costs ~8 VPU passes
-    # per pair-pixel. Precision.HIGHEST is mandatory: at DEFAULT the MXU
-    # rounds the INPUTS to bf16 and the knife-edge alpha-keep decisions
-    # flip (see module notes). rho2d stays on the VPU in DIFFERENCE form:
-    # its expanded pixel-basis form (px²+py² − 2cx·px − …) cancels
-    # catastrophically at 512² pixel coordinates. Expression is SHARED
-    # verbatim with `_chunk_backward`'s recompute.
-    lin = _pair_linear(px, py, data)
-    p0, p1, p2 = lin[..., 0, :], lin[..., 1, :], lin[..., 2, :]
-    depth_num = lin[..., 3, :]
+    # Plane evals stay FUSED VPU fma chains: routing them through an MXU
+    # (P, 3) @ (3, 4K) contraction was tried and REGRESSED the forward
+    # ~2 ms — the einsum is a fusion boundary, so p0/p1/p2 round-trip to
+    # HBM as (G, P, 4K) f32 instead of living in vregs (the 3-deep
+    # contraction also wastes the 128×128 systolic array). The backward's
+    # ADJOINT reductions are the opposite case and do use one einsum
+    # (`_chunk_backward`).
+    pxe = px[..., None]                                     # (G, P, 1)
+    pye = py[..., None]
+    p0 = pxe * a0 + pye * b0 + c0                           # (G, P, K)
+    p1 = pxe * a1 + pye * b1 + c1
+    p2 = pxe * a2 + pye * b2 + c2
     safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
     inv = 1.0 / safe
     u = p0 * inv
     v = p1 * inv
     rho3d = u * u + v * v
 
-    pxe = px[..., None]                                     # (G, P, 1)
-    pye = py[..., None]
     dx = pxe - cx
     dy = pye - cy
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    depth = jnp.where(use3d, depth_num * inv, cz)
+    depth = jnp.where(use3d, u * tz0 + v * tz1 + tz2, cz)
 
     g = jnp.exp(-0.5 * rho) * _rho_window(rho)
     alpha = jnp.minimum(op * g, ALPHA_MAX)
@@ -514,27 +491,32 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     route cotangents to the selected branch; min/clip ties are measure-
     zero and ignored.
     """
+    a0, a1, a2 = data[0][:, None, :], data[1][:, None, :], data[2][:, None, :]
+    b0, b1, b2 = data[3][:, None, :], data[4][:, None, :], data[5][:, None, :]
+    c0, c1, c2 = data[6][:, None, :], data[7][:, None, :], data[8][:, None, :]
+    tz0b, tz1b, tz2b = (data[9][:, None, :], data[10][:, None, :],
+                        data[11][:, None, :])
     tz0, tz1, tz2 = data[9], data[10], data[11]             # (G, K)
     cx, cy = data[_PK_CX][:, None, :], data[_PK_CY][:, None, :]
     cz, op = data[_PK_CZ][:, None, :], data[_PK_OP][:, None, :]
 
     # ---- recompute (verbatim fwd expressions) -----------------------------
-    lin = _pair_linear(px, py, data)
-    p0, p1, p2 = lin[..., 0, :], lin[..., 1, :], lin[..., 2, :]
-    depth_num = lin[..., 3, :]
+    pxe = px[..., None]
+    pye = py[..., None]
+    p0 = pxe * a0 + pye * b0 + c0
+    p1 = pxe * a1 + pye * b1 + c1
+    p2 = pxe * a2 + pye * b2 + c2
     safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
     inv = 1.0 / safe
     u = p0 * inv
     v = p1 * inv
     rho3d = u * u + v * v
-    pxe = px[..., None]
-    pye = py[..., None]
     dx = pxe - cx
     dy = pye - cy
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    depth = jnp.where(use3d, depth_num * inv, cz)
+    depth = jnp.where(use3d, u * tz0b + v * tz1b + tz2b, cz)
     expw = jnp.exp(-0.5 * rho)
     win = _rho_window(rho)
     g = expw * win
@@ -607,7 +589,11 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     ct_depth = jnp.where(keep, ct_depth, 0.0)
     k3 = keep & use3d
     ct_depth3 = jnp.where(k3, ct_depth, 0.0)
-    ct_num = ct_depth3 * inv                       # depth = depth_num · inv
+    # Adjoint treats depth ≡ (p0·tz0 + p1·tz1 + p2·tz2) · inv — equal to
+    # the fwd's u·tz0 + v·tz1 + tz2 up to fp rounding — so the whole
+    # depth chain flows through the coefficient einsum below as a fourth
+    # "numerator" column instead of three extra (G, P, K) reductions.
+    ct_num = ct_depth3 * inv
     ct_cz = jnp.sum(jnp.where(keep & ~use3d, ct_depth, 0.0), axis=1)
 
     # ---- opacity / gaussian-weight chain -----------------------------------
@@ -629,13 +615,16 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
     # ---- projective ray-plane chain ----------------------------------------
     ct_p0 = ct_u * inv
     ct_p1 = ct_v * inv
-    ct_inv = ct_u * p0 + ct_v * p1 + ct_depth3 * depth_num
+    # num ≈ depth·safe under k3 (1 pass; exact to fp rounding)
+    ct_inv = ct_u * p0 + ct_v * p1 + ct_depth3 * (depth * safe)
     ct_safe = -(inv * inv) * ct_inv
     ct_p2 = jnp.where(jnp.abs(p2) < 1e-9, 0.0, ct_safe)
 
-    # Adjoint of the `_pair_linear` MXU contraction: one einsum gives the
-    # cotangent of every coefficient row at once (replaces nine pxe/pye
-    # reduction passes). coef[c, o] layout matches `_pair_linear`.
+    # Coefficient adjoints consolidated into ONE MXU einsum over the pixel
+    # basis [px, py, 1]: columns o = [p0, p1, p2, depth-numerator]. This
+    # replaces twelve (G, P, K)-shaped reduction passes; unlike in the
+    # forward (where the einsum form regressed — fusion boundary), these
+    # ARE reductions, so the MXU contraction over P is the right shape.
     basis = jnp.stack([pxe[..., 0], pye[..., 0],
                        jnp.ones_like(pxe[..., 0])], -1)     # (G, P, 3)
     ct_lin = jnp.stack([ct_p0, ct_p1, ct_p2, ct_num], -2)   # (G, P, 4, K)
