@@ -51,12 +51,65 @@ def _load():
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
     ]
+    if hasattr(lib, "ga_tsdf_integrate"):
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.ga_tsdf_integrate.restype = ctypes.c_int
+        lib.ga_tsdf_integrate.argtypes = [
+            fp, fp, fp, fp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, fp, fp, fp,
+        ]
     _LIB = lib
     return lib
 
 
 def have_native() -> bool:
     return _load() is not None
+
+
+def have_tsdf_integrate() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ga_tsdf_integrate")
+
+
+def tsdf_integrate(depths: np.ndarray, colors: np.ndarray,
+                   alphas: np.ndarray, cam_view: np.ndarray,
+                   tanfov: float, resolution: int = 128,
+                   bound: float = 0.495, trunc_voxels: float = 12.0,
+                   alpha_thres: float = 0.08
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host C++ OpenMP TSDF fusion (the Open3D-integrate role).
+
+    Same semantics as `render.tsdf.integrate_tsdf` (which stays as the
+    pure-JAX path): depths/alphas (V, 1, H, W), colors (V, 3, H, W),
+    cam_view (V, 4, 4) row-vector. Returns (tsdf (D,D,D),
+    color (D,D,D,3)). On TPU the XLA integrate is gather-bound (~45 s at
+    176³/50 views on v5e — 5.4G scalar gathers); the 256 KB per-view
+    images sit in host cache and the C++ loop finishes in ~1 s.
+    """
+    lib = _load()
+    assert lib is not None and hasattr(lib, "ga_tsdf_integrate")
+    D = resolution
+    V, _, H, W = depths.shape
+    voxel = 2 * bound / D
+    dep = np.ascontiguousarray(depths.reshape(V, H, W), np.float32)
+    alp = np.ascontiguousarray(alphas.reshape(V, H, W), np.float32)
+    col = np.ascontiguousarray(colors, np.float32)
+    cv = np.ascontiguousarray(cam_view, np.float32)
+    tsdf = np.empty((D, D, D), np.float32)
+    weight = np.empty((D, D, D), np.float32)
+    color_out = np.empty((D, D, D, 3), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.ga_tsdf_integrate(
+        dep.ctypes.data_as(fp), col.ctypes.data_as(fp),
+        alp.ctypes.data_as(fp), cv.ctypes.data_as(fp),
+        V, H, W, ctypes.c_float(float(tanfov)), D,
+        ctypes.c_float(bound), ctypes.c_float(trunc_voxels * voxel),
+        ctypes.c_float(alpha_thres),
+        tsdf.ctypes.data_as(fp), weight.ctypes.data_as(fp),
+        color_out.ctypes.data_as(fp))
+    assert rc == 0
+    return tsdf, color_out
 
 
 def surface_nets(tsdf: np.ndarray, color: Optional[np.ndarray] = None,

@@ -821,11 +821,12 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     if packed_key:
         assert n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17)
         packed_key = (flat_tile << 17) | flat_rank
-        # KEY-ONLY sort: the payload is recovered from the key's rank bits
-        # (splat = order[rank] — `order` IS the rank→splat map), so the
-        # sort moves half the bytes of a (key, value) co-sort.
-        s_key = jax.lax.sort(packed_key, is_stable=False)
-        s_splat = jnp.take(order, s_key & ((1 << 17) - 1))
+        # Single-key CO-sort carrying the splat payload. (A key-only sort
+        # + take(order, key & mask) to recover the payload was tried and
+        # REGRESSED ~1.7 ms: the 463k-element random gather costs more
+        # than moving the payload through the sort network.)
+        s_key, s_splat = jax.lax.sort((packed_key, flat_splat),
+                                      num_keys=1, is_stable=False)
         s_tile = s_key >> 17
     else:
         s_tile, _, s_splat = jax.lax.sort((flat_tile, flat_rank, flat_splat),

@@ -210,14 +210,29 @@ def export_mesh_from_gaussians(path: str, gaussians: jnp.ndarray,
         jnp.broadcast_to(cam["tanfov"][None], (1, V)),
         jnp.ones((1, V, 3)), render_size, tile=16, max_per_tile=1024,
         chunk=256, tile_group=16)
-    tsdf, color = integrate_tsdf(
-        out["depth"][0], out["image"][0], out["alpha"][0],
-        cam["cam_view"], cam["tanfov"][0], resolution=resolution)
-    # native C++ extractor when built; python fallback otherwise.
-    # (channel-leading device color → host transpose to (D, D, D, 3))
     from gaussiananything_tpu import native_bindings
-    verts, faces, vcol = native_bindings.surface_nets(
-        np.asarray(tsdf), np.moveaxis(np.asarray(color), 0, -1))
+    if native_bindings.have_tsdf_integrate():
+        # Host C++ OpenMP integrate (the reference's Open3D-on-CPU role):
+        # the XLA integrate is gather-bound on TPU (45 s at 176³/50 views)
+        # while C++ with cache-resident images takes ~1 s. Renders cross
+        # the tunnel as f16 (half the bytes; depth quantisation ≪ voxel).
+        import jax.numpy as _jnp
+        fetch = {k: np.asarray(out[k][0].astype(_jnp.float16)
+                               ).astype(np.float32)
+                 for k in ("depth", "image", "alpha")}
+        tsdf_np, color_np = native_bindings.tsdf_integrate(
+            fetch["depth"], fetch["image"], fetch["alpha"],
+            np.asarray(cam["cam_view"]), float(cam["tanfov"][0]),
+            resolution=resolution)
+    else:
+        tsdf, color = integrate_tsdf(
+            out["depth"][0], out["image"][0], out["alpha"][0],
+            cam["cam_view"], cam["tanfov"][0], resolution=resolution)
+        # (channel-leading device color → host transpose to (D, D, D, 3))
+        tsdf_np = np.asarray(tsdf)
+        color_np = np.moveaxis(np.asarray(color), 0, -1)
+    # native C++ extractor when built; python fallback otherwise.
+    verts, faces, vcol = native_bindings.surface_nets(tsdf_np, color_np)
     if path.endswith(".obj"):
         with open(path, "w") as f:
             for v in verts:

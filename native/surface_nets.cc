@@ -164,3 +164,73 @@ int ga_write_ply(const char* path, const char* field_names, int n_fields,
 }
 
 }  // extern "C"
+
+// Projective TSDF fusion over V views — the Open3D ScalableTSDFVolume
+// integrate role (`nsr/lsgm/flow_matching_trainer.py:1319,1338-1343`),
+// reimplemented dense + OpenMP. Row-vector camera convention: view =
+// [x y z 1] @ cam_view (cam_view passed row-major (V, 4, 4)).
+// depths/alphas: (V, H, W); colors: (V, 3, H, W). Outputs tsdf (D^3)
+// init 1.0, color (D^3, 3); voxel grid covers [-bound, bound]^3 with
+// centres at (i + 0.5)/D * 2*bound - bound, x-major (i, j, k) order
+// matching the JAX path's meshgrid(indexing="ij").
+extern "C" int ga_tsdf_integrate(
+    const float* depths, const float* colors, const float* alphas,
+    const float* cam_view, int V, int H, int W, float tanfov, int D,
+    float bound, float trunc, float alpha_thres,
+    float* tsdf, float* weight, float* color_out) {
+  const int64_t n = (int64_t)D * D * D;
+  const float step = 2.0f * bound / D;
+#pragma omp parallel for schedule(static)
+  for (int64_t idx = 0; idx < n; idx++) {
+    const int i = (int)(idx / ((int64_t)D * D));
+    const int j = (int)((idx / D) % D);
+    const int k = (int)(idx % D);
+    const float gx = (i + 0.5f) * step - bound;
+    const float gy = (j + 0.5f) * step - bound;
+    const float gz = (k + 0.5f) * step - bound;
+    float t = 1.0f, w = 0.0f, c0 = 0.0f, c1 = 0.0f, c2 = 0.0f;
+    for (int vi = 0; vi < V; vi++) {
+      const float* cv = cam_view + (int64_t)vi * 16;
+      const float vx = gx * cv[0] + gy * cv[4] + gz * cv[8] + cv[12];
+      const float vy = gx * cv[1] + gy * cv[5] + gz * cv[9] + cv[13];
+      const float vz = gx * cv[2] + gy * cv[6] + gz * cv[10] + cv[14];
+      if (vz <= 0.05f) continue;
+      const float u = ((vx / (vz * tanfov)) + 1.0f) * 0.5f * W - 0.5f;
+      const float v = ((vy / (vz * tanfov)) + 1.0f) * 0.5f * H - 0.5f;
+      if (u < 0.0f || u > W - 1 || v < 0.0f || v > H - 1) continue;
+      const int u0 = (int)u, v0 = (int)v;
+      const int u1 = u0 + 1 < W ? u0 + 1 : W - 1;
+      const int v1 = v0 + 1 < H ? v0 + 1 : H - 1;
+      const float fu = u - u0, fv = v - v0;
+      const float w00 = (1 - fu) * (1 - fv), w10 = fu * (1 - fv);
+      const float w01 = (1 - fu) * fv, w11 = fu * fv;
+      const float* dep = depths + (int64_t)vi * H * W;
+      const float* alp = alphas + (int64_t)vi * H * W;
+#define BILERP(img) (img[v0 * W + u0] * w00 + img[v0 * W + u1] * w10 \
+                     + img[v1 * W + u0] * w01 + img[v1 * W + u1] * w11)
+      const float d_px = BILERP(dep);
+      const float a_px = BILERP(alp);
+      if (a_px <= alpha_thres || d_px <= 0.05f) continue;
+      const float sdf = d_px - vz;
+      if (sdf <= -trunc) continue;
+      float s = sdf / trunc;
+      s = s > 1.0f ? 1.0f : (s < -1.0f ? -1.0f : s);
+      const float* cr = colors + ((int64_t)vi * 3 + 0) * H * W;
+      const float* cg = colors + ((int64_t)vi * 3 + 1) * H * W;
+      const float* cb = colors + ((int64_t)vi * 3 + 2) * H * W;
+      const float nw = w + 1.0f;
+      t = (t * w + s) / nw;
+      c0 = (c0 * w + BILERP(cr)) / nw;
+      c1 = (c1 * w + BILERP(cg)) / nw;
+      c2 = (c2 * w + BILERP(cb)) / nw;
+      w = nw;
+#undef BILERP
+    }
+    tsdf[idx] = w > 0.0f ? t : 1.0f;
+    weight[idx] = w;
+    color_out[idx * 3 + 0] = c0;
+    color_out[idx * 3 + 1] = c1;
+    color_out[idx * 3 + 2] = c2;
+  }
+  return 0;
+}

@@ -40,3 +40,39 @@ class TestNative:
         back = read_ply(p)
         for k in fields:
             np.testing.assert_allclose(back[k], fields[k], atol=1e-6)
+
+
+def test_tsdf_integrate_native_matches_jax():
+    """C++ OpenMP TSDF fusion == the jitted JAX integrate (same math,
+    bilinear corners, running means) on a synthetic two-view scene."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gaussiananything_tpu import native_bindings
+    from gaussiananything_tpu.render.tsdf import integrate_tsdf
+
+    if not native_bindings.have_tsdf_integrate():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    V, H, W, D = 2, 17, 19, 16
+    depth = (1.5 + 0.3 * rng.random((V, 1, H, W))).astype(np.float32)
+    rgb = rng.random((V, 3, H, W)).astype(np.float32)
+    alpha = (rng.random((V, 1, H, W)) > 0.2).astype(np.float32)
+    cv = np.stack([np.eye(4, dtype=np.float32).copy() for _ in range(V)])
+    cv[0, 3, 2] = 2.0
+    cv[1, 3, 2] = 2.2
+    cv[1, 3, 0] = 0.1
+    tanfov = 0.6
+
+    tsdf_j, color_j = integrate_tsdf(
+        jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(alpha),
+        jnp.asarray(cv), jnp.asarray(tanfov), resolution=D)
+    tsdf_j = np.asarray(tsdf_j)
+    color_j = np.moveaxis(np.asarray(color_j), 0, -1)
+
+    tsdf_n, color_n = native_bindings.tsdf_integrate(
+        depth, rgb, alpha, cv, tanfov, resolution=D)
+
+    np.testing.assert_allclose(tsdf_n, tsdf_j, atol=2e-5)
+    np.testing.assert_allclose(color_n, color_j, atol=2e-5)
