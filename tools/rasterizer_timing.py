@@ -161,8 +161,11 @@ def main():
 
     # -- config sweep (fwd only) ---------------------------------------------
     if "--sweep" in sys.argv:
-        for tl, ck, gr in ((16, 256, 16), (16, 128, 16), (16, 256, 8),
-                           (16, 128, 32), (8, 128, 32), (8, 256, 64)):
+        # tile=8 removed: measured 1.5-1.8x worse (sort doubles, 4x groups).
+        # chunk<=128 rows probe whether finer chunk granularity + the
+        # saturation early-exit beat the padding waste they add.
+        for tl, ck, gr in ((16, 256, 16), (16, 128, 16), (16, 64, 16),
+                           (16, 64, 32), (16, 128, 8), (16, 512, 16)):
             f = jax.jit(lambda *a, tl=tl, ck=ck, gr=gr: rz.rasterize_tiled(
                 *a, bg, res, res, tile=tl, max_per_tile=mpt, chunk=ck,
                 tile_group=gr))
