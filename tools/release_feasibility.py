@@ -36,6 +36,9 @@ def main():
         if "--steps" in sys.argv else 5
 
     cfg = preset("vae")
+    if "--bf16" in sys.argv:
+        cfg.vae.compute_dtype = "bfloat16"
+        print("compute_dtype: bfloat16", flush=True)
     model = PointVAE.from_config(cfg.vae)
 
     batch = make_batch(seed=0, batch=1, n_views_in=4, n_views_sup=views,
