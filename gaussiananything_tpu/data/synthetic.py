@@ -84,9 +84,14 @@ def render_scene_views(gaussians: jnp.ndarray, poses25: np.ndarray,
         tile_group=max(1, (rres // 16) ** 2 // 8))
     out = {k: v[0] for k, v in out.items()}
     if rres != res:
+        # bicubic only for the rgb image (the conditioning consumer);
+        # bilinear for geometry/alpha maps — bicubic ringing at silhouette
+        # edges puts alpha outside [0,1] and invents depth values.
         out = {k: jax.image.resize(
-            v, v.shape[:-2] + (res, res), method="bicubic")
+            v, v.shape[:-2] + (res, res),
+            method="bicubic" if k == "image" else "linear")
             for k, v in out.items()}
+        out["alpha"] = jnp.clip(out["alpha"], 0.0, 1.0)
     return out
 
 

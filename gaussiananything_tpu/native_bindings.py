@@ -28,16 +28,29 @@ def _load():
         # Lazy one-shot build: the .so is gitignored, so a fresh checkout
         # would silently take the pure-python surface-nets fallback —
         # measured 67 s vs sub-second native at a 176³ grid in the
-        # release cascade.
+        # release cascade. Build into a per-PID temp name + atomic rename
+        # so concurrent processes never CDLL a half-written file.
+        import shutil
         import subprocess
+        import tempfile
         try:
-            subprocess.run(["make", "-C", os.path.join(root, "native")],
-                           check=True, capture_output=True, timeout=120)
+            tmp = tempfile.mkdtemp(prefix="ganative_")
+            for src in ("surface_nets.cc", "Makefile"):
+                shutil.copy(os.path.join(root, "native", src), tmp)
+            subprocess.run(["make", "-C", tmp], check=True,
+                           capture_output=True, timeout=120)
+            os.replace(os.path.join(tmp, "libganative.so"), path)
+            shutil.rmtree(tmp, ignore_errors=True)
         except Exception:
             return None
         if not os.path.exists(path):
             return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+        lib.ga_surface_nets
+        lib.ga_write_ply
+    except (OSError, AttributeError):
+        return None                       # partial/incompatible .so → fallback
     lib.ga_surface_nets.restype = ctypes.c_int
     lib.ga_surface_nets.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),

@@ -768,6 +768,13 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     src = jnp.searchsorted(incl, slots_b + 1, side="left")
     b_valid = slots_b < jnp.minimum(n_big, big_capacity)
     src = jnp.where(b_valid, src, 0)
+    import os as _os
+    if _os.environ.get("GA_RASTER_DEBUG"):
+        # Overflowed bigs silently degrade to partial 2×2 coverage; this
+        # is the runtime signal for tuning `big_capacity` on new content.
+        jax.debug.print(
+            "build_tile_pairs: {} big splats (capacity {})", n_big,
+            big_capacity)
 
     def compact(a):
         return jnp.where(b_valid, jnp.take(a, src),
@@ -1119,8 +1126,7 @@ def rasterize_tiled(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     # of the frame by in-jit ablation; the combined pass roughly halves
     # that).
     inv = jax.lax.stop_gradient(jnp.argsort(order))
-    keys = ["image", "alpha", "depth_expected", "depth_median",
-            "normal_view", "dist"]
+    keys = list(out)        # derived, so a new output map can't be dropped
     widths = [(out[k].shape[3] if out[k].ndim == 4 else 1) for k in keys]
     stacked = jnp.concatenate(
         [out[k].reshape(n_tiles, P, w) for k, w in zip(keys, widths)],

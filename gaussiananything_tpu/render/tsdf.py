@@ -216,8 +216,7 @@ def export_mesh_from_gaussians(path: str, gaussians: jnp.ndarray,
         # the XLA integrate is gather-bound on TPU (45 s at 176³/50 views)
         # while C++ with cache-resident images takes ~1 s. Renders cross
         # the tunnel as f16 (half the bytes; depth quantisation ≪ voxel).
-        import jax.numpy as _jnp
-        fetch = {k: np.asarray(out[k][0].astype(_jnp.float16)
+        fetch = {k: np.asarray(out[k][0].astype(jnp.float16)
                                ).astype(np.float32)
                  for k in ("depth", "image", "alpha")}
         tsdf_np, color_np = native_bindings.tsdf_integrate(
