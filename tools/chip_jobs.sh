@@ -17,12 +17,13 @@ run() {
 }
 
 run bench        python bench.py
-run rtiming      python -m tools.rasterizer_timing
+run rtiming      python -m tools.rasterizer_timing --ablate
 run parity512    python -m tools.golden_parity_512
 run feasibility  python -m tools.release_feasibility --steps 3
+run feasbf16     python -m tools.release_feasibility --steps 3 --bf16
 run cascade      python -m gaussiananything_tpu.cli.sample --release --full \
-                   --mesh --num 2 --out /tmp/cascade_r2b
+                   --mesh --num 2 --out /tmp/cascade_jobs
 run cascadebf16  python -m gaussiananything_tpu.cli.sample --release --full \
-                   --mesh --bf16 --num 2 --out /tmp/cascade_r2b_bf16
+                   --mesh --bf16 --num 2 --out /tmp/cascade_jobs_bf16
 
 echo "=== done; logs in $OUT ==="

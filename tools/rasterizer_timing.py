@@ -164,8 +164,8 @@ def main():
         # tile=8 removed: measured 1.5-1.8x worse (sort doubles, 4x groups).
         # chunk<=128 rows probe whether finer chunk granularity + the
         # saturation early-exit beat the padding waste they add.
-        for tl, ck, gr in ((16, 256, 16), (16, 128, 16), (16, 64, 16),
-                           (16, 64, 32), (16, 128, 8), (16, 512, 16)):
+        for tl, ck, gr in ((16, 256, 16), (16, 256, 32), (16, 256, 64),
+                           (16, 512, 32), (16, 128, 16), (16, 512, 16)):
             f = jax.jit(lambda *a, tl=tl, ck=ck, gr=gr: rz.rasterize_tiled(
                 *a, bg, res, res, tile=tl, max_per_tile=mpt, chunk=ck,
                 tile_group=gr))
