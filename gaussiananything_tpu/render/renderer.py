@@ -23,10 +23,11 @@ from gaussiananything_tpu.ops import rasterize as rz
 class GaussianRenderer2DGS:
     """Stateless config holder mirroring the reference class."""
 
-    def __init__(self, output_size: int = 512, tile: int = 8,
-                 max_per_tile: int = 512, chunk: int = 128,
-                 tile_group: int = 128,
+    def __init__(self, output_size: int = 512, tile: int = 16,
+                 max_per_tile: int = 1024, chunk: int = 256,
+                 tile_group: int = 16,
                  bg_color=(1.0, 1.0, 1.0)):
+        # defaults = the measured 512² optimum (BENCH_NOTES round-3 sweep)
         self.output_size = output_size
         self.tile = tile
         self.max_per_tile = max_per_tile
