@@ -77,8 +77,10 @@ def main(argv=None):
 
     mk = stage1_dit if args.stage == 1 else stage2_dit
     dtype = compute_dtype(cfg.dit.compute_dtype)
+    # remat=True: per-block rematerialisation makes release-batch training
+    # fit one chip (batch-32 DiT-L backward stores ~62 GB without it)
     dit_kw = dict(size=cfg.dit.size, cond_dim=cfg.dit.cond_width,
-                  vector_dim=cfg.dit.cond_width, dtype=dtype)
+                  vector_dim=cfg.dit.cond_width, dtype=dtype, remat=True)
     if args.stage == 2:
         dit_kw["z_channels"] = cfg.vae.z_channels
     dit = mk(**dit_kw)

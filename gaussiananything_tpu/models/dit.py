@@ -126,6 +126,12 @@ class PointDiT(nn.Module):
     release_parity: bool = False
     variant: str = "clay"        # see ClayDiTBlock.variant
     dtype: jnp.dtype = jnp.float32
+    # Rematerialise each block in the backward: without it, 24 blocks of
+    # stored activations (incl. fp32 attention scores) need ~62 GB at
+    # batch 32 — the reference trains batch 32/GPU on 80 GB A100s with
+    # this much headroom; on 16 GB v5e remat is what makes release-batch
+    # flow-matching training fit (the usual FLOPs-for-HBM trade).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, t, cond_tokens, cond_vector,
@@ -163,10 +169,11 @@ class PointDiT(nn.Module):
         else:
             ctx = nn.Dense(d, dtype=self.dtype, name="cond_proj")(
                 cond_tokens.astype(self.dtype))
+        block_cls = nn.remat(ClayDiTBlock) if self.remat else ClayDiTBlock
         for i in range(self.depth):
-            h = ClayDiTBlock(self.heads, release_parity=self.release_parity,
-                             variant=self.variant, dtype=self.dtype,
-                             name=f"block_{i}")(h, ctx, ada)
+            h = block_cls(self.heads, release_parity=self.release_parity,
+                          variant=self.variant, dtype=self.dtype,
+                          name=f"block_{i}")(h, ctx, ada)
 
         # T2I final layer: shift/scale from t, zero-init output projection
         # (`dit/dit_models_xformers.py:62-85`); output cast fp32
