@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--latent-dir", default=None,
                    help="npz latents from extract_latents")
     p.add_argument("--platform", default=None)
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step "
+                        "(reference microbatch loop; memory knob)")
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--freeze-cond", action="store_true",
                    help="freeze the conditioner (the reference trains "
@@ -185,7 +188,8 @@ def main(argv=None):
                               extra_ema_decays=cfg.optim.extra_ema_decays,
                               lr_mults=cfg.optim.lr_mults)
     step_fn = make_fm_train_step(dit, cond, transport, fm_cfg, tx_cfg,
-                                 train_conditioner=not args.freeze_cond)
+                                 train_conditioner=not args.freeze_cond,
+                                 accum=args.accum)
     tx = make_optimizer(tx_cfg)
     state = TrainState.create(replicate(mesh, dit_params), tx,
                               extra_ema_decays=cfg.optim.extra_ema_decays)

@@ -43,31 +43,37 @@ class FMConfig:
 
 def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
                        cfg: FMConfig, tx_cfg: Optional[TrainStateConfig] = None,
-                       train_conditioner: bool = True):
+                       train_conditioner: bool = True, accum: int = 1):
     """Returns train_step(state, cond_state, batch, rng) → (state, cond_state, logs).
 
     batch keys: 'latent' (B, N, C) training target (already normalised);
     'cond' conditioner input (images (B,3,H,W) or token ids);
     stage-2 additionally 'xyz' (B, N, 3).
+
+    `accum > 1` = TRUE gradient accumulation: the batch is split into
+    `accum` microbatches scanned sequentially, grads averaged, ONE
+    optimizer update — the reference's microbatch slicing loop
+    (`nsr/lsgm/flow_matching_trainer.py:504-511`). This is the memory
+    knob for release-batch training on one chip: activations scale with
+    B/accum while the update still sees the full batch.
     """
     base = tx_cfg or TrainStateConfig()
     tx = make_optimizer(base)
     # embedder group at 0.5× lr (`flow_matching_trainer.py:374-399`)
     cond_tx = make_optimizer(dataclasses.replace(base, lr=base.lr * 0.5))
 
-    @jax.jit
-    def train_step(state: TrainState, cond_state: TrainState, batch, rng):
+    def micro_grads(dit_params, cond_params, batch, rng):
         rng_c, rng_t = jax.random.split(rng)
 
-        def loss(dit_params, cond_params):
-            cond = conditioner_model.apply(cond_params, batch["cond"],
+        def loss(dp, cp):
+            cond = conditioner_model.apply(cp, batch["cond"],
                                            rng=rng_c, train=True)
 
             def velocity(xt, t):
                 kwargs = {}
                 if cfg.stage == 2:
                     kwargs["xyz"] = batch["xyz"]
-                return dit_model.apply(dit_params, xt, t, cond.crossattn,
+                return dit_model.apply(dp, xt, t, cond.crossattn,
                                        cond.vector, **kwargs)
 
             x1 = batch["latent"] / cfg.latent_divider
@@ -77,24 +83,57 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
 
         if train_conditioner:
             (l, aux), grads = jax.value_and_grad(
-                loss, argnums=(0, 1), has_aux=True)(
-                    state.params, cond_state.params)
-            g_dit, g_cond = grads
+                loss, argnums=(0, 1), has_aux=True)(dit_params, cond_params)
+            return l, aux, grads[0], grads[1]
+        # frozen conditioner: differentiate w.r.t. the DiT only —
+        # a joint backward would pay the full (e.g. DINOv2-L) tower
+        # every step and then throw the grads away
+        (l, aux), g_dit = jax.value_and_grad(
+            loss, argnums=0, has_aux=True)(
+                dit_params, jax.lax.stop_gradient(cond_params))
+        return l, aux, g_dit, None
+
+    @jax.jit
+    def train_step(state: TrainState, cond_state: TrainState, batch, rng):
+        if accum == 1:
+            l, aux, g_dit, g_cond = micro_grads(state.params,
+                                                cond_state.params, batch, rng)
+            t_mean = jnp.mean(aux["t"])
         else:
-            # frozen conditioner: differentiate w.r.t. the DiT only —
-            # argnums=(0, 1) would pay a full backward through the (e.g.
-            # DINOv2-L) tower every step and then throw the grads away
-            (l, aux), g_dit = jax.value_and_grad(
-                loss, argnums=0, has_aux=True)(
-                    state.params, jax.lax.stop_gradient(cond_state.params))
+            B = batch["latent"].shape[0]
+            assert B % accum == 0, (B, accum)
+            mb = B // accum
+
+            def body(carry, i):
+                g_d, g_c, l_acc, t_acc = carry
+                sub = jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, i * mb, mb, 0),
+                    batch)
+                l, aux, gd, gc = micro_grads(state.params, cond_state.params,
+                                             sub, jax.random.fold_in(rng, i))
+                g_d = jax.tree.map(jnp.add, g_d, gd)
+                if gc is not None:
+                    g_c = jax.tree.map(jnp.add, g_c, gc)
+                return (g_d, g_c, l_acc + l, t_acc + jnp.mean(aux["t"])), None
+
+            zeros_d = jax.tree.map(jnp.zeros_like, state.params)
+            zeros_c = jax.tree.map(jnp.zeros_like, cond_state.params)
+            (g_dit, g_cond, l, t_sum), _ = jax.lax.scan(
+                body, (zeros_d, zeros_c, 0.0, 0.0), jnp.arange(accum))
+            inv = 1.0 / accum
+            g_dit = jax.tree.map(lambda g: g * inv, g_dit)
+            g_cond = (jax.tree.map(lambda g: g * inv, g_cond)
+                      if train_conditioner else None)
+            l = l * inv
+            t_mean = t_sum * inv
         new_state = state.apply_gradients(g_dit, tx,
                                           ema_decay=base.ema_decay)
-        if train_conditioner:
+        if train_conditioner and g_cond is not None:
             new_cond = cond_state.apply_gradients(
                 g_cond, cond_tx, ema_decay=base.ema_decay)
         else:
             new_cond = cond_state
-        logs = {"fm_loss": l, "t_mean": jnp.mean(aux["t"])}
+        logs = {"fm_loss": l, "t_mean": t_mean}
         return new_state, new_cond, logs
 
     return train_step
