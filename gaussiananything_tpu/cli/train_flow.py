@@ -193,7 +193,10 @@ def main(argv=None):
     tx = make_optimizer(tx_cfg)
     state = TrainState.create(replicate(mesh, dit_params), tx,
                               extra_ema_decays=cfg.optim.extra_ema_decays)
-    cstate = TrainState.create(replicate(mesh, cond_params), tx)
+    # frozen conditioner → no optimizer moments (2x |params| of dead HBM)
+    import optax
+    cond_tx = optax.identity() if args.freeze_cond else tx
+    cstate = TrainState.create(replicate(mesh, cond_params), cond_tx)
 
     sampler = None
 

@@ -117,7 +117,10 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
                 return (g_d, g_c, l_acc + l, t_acc + jnp.mean(aux["t"])), None
 
             zeros_d = jax.tree.map(jnp.zeros_like, state.params)
-            zeros_c = jax.tree.map(jnp.zeros_like, cond_state.params)
+            # frozen conditioner → no grad accumulator (a full zero tree
+            # in the scan carry would cost another |cond params| of HBM)
+            zeros_c = (jax.tree.map(jnp.zeros_like, cond_state.params)
+                       if train_conditioner else jnp.zeros(()))
             (g_dit, g_cond, l, t_sum), _ = jax.lax.scan(
                 body, (zeros_d, zeros_c, 0.0, 0.0), jnp.arange(accum))
             inv = 1.0 / accum
