@@ -189,7 +189,7 @@ def main(argv=None):
                               lr_mults=cfg.optim.lr_mults)
     step_fn = make_fm_train_step(dit, cond, transport, fm_cfg, tx_cfg,
                                  train_conditioner=not args.freeze_cond,
-                                 accum=args.accum)
+                                 accum=args.accum, donate=True)
     tx = make_optimizer(tx_cfg)
     state = TrainState.create(replicate(mesh, dit_params), tx,
                               extra_ema_decays=cfg.optim.extra_ema_decays)

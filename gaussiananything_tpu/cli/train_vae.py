@@ -117,7 +117,8 @@ def main(argv=None):
                               warmup_steps=cfg.optim.warmup_steps,
                               lr_mults=cfg.optim.lr_mults)
     disc = PatchDiscriminator() if args.adv else None
-    step_fn = make_train_step(model, loss_cfg, tx_cfg, disc_model=disc,
+    step_fn = make_train_step(model, loss_cfg, tx_cfg, donate=True,
+                              disc_model=disc,
                               lpips_params=lpips_params)
     tx = make_optimizer(tx_cfg)
     state = TrainState.create(params, tx,
@@ -138,7 +139,8 @@ def main(argv=None):
             (1, 3, loss_cfg.lod_resolutions[-1],
              loss_cfg.lod_resolutions[-1])))
         dstate = TrainState.create(replicate(mesh, dp), tx)
-        dstep_fn = make_disc_step(model, disc, loss_cfg, tx_cfg)
+        dstep_fn = make_disc_step(model, disc, loss_cfg, tx_cfg,
+                                  donate=True)
         # discriminator checkpoint parity (`nsr/train_nv_util.py:1637-1692`)
         if args.resume and os.path.isdir(args.resume + "_disc"):
             dstate = restore_checkpoint(args.resume + "_disc", dstate)

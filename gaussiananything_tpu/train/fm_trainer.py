@@ -17,6 +17,7 @@ unnormalise ×0.164 (stage-1) / split (kl, xyz) (stage-2).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -43,7 +44,8 @@ class FMConfig:
 
 def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
                        cfg: FMConfig, tx_cfg: Optional[TrainStateConfig] = None,
-                       train_conditioner: bool = True, accum: int = 1):
+                       train_conditioner: bool = True, accum: int = 1,
+                       donate: bool = False):
     """Returns train_step(state, cond_state, batch, rng) → (state, cond_state, logs).
 
     batch keys: 'latent' (B, N, C) training target (already normalised);
@@ -93,7 +95,16 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
                 dit_params, jax.lax.stop_gradient(cond_params))
         return l, aux, g_dit, None
 
-    @jax.jit
+    # donate=True aliases the states through the update: without it the
+    # optimizer step holds old AND new params/moments/EMA simultaneously
+    # (~2x parameter memory — the difference between fitting and OOMing
+    # DiT-L batch 32 on 16 GB). Opt-in because a donated input state is
+    # consumed — callers that reuse it (tests, comparisons) keep the
+    # default.
+    dec = (functools.partial(jax.jit, donate_argnums=(0, 1)) if donate
+           else jax.jit)
+
+    @dec
     def train_step(state: TrainState, cond_state: TrainState, batch, rng):
         if accum == 1:
             l, aux, g_dit, g_cond = micro_grads(state.params,

@@ -78,10 +78,15 @@ class TrainState:
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation,
                extra_ema_decays: tuple = ()):
-        extra = ({f"{d:g}": params for d in extra_ema_decays}
+        # EMA trees are COPIES, not aliases of params: the jitted train
+        # steps donate the whole state, and donating the same underlying
+        # buffer twice (params + an aliased ema) is a runtime error. They
+        # diverge after the first update regardless.
+        copy = lambda: jax.tree.map(jnp.copy, params)        # noqa: E731
+        extra = ({f"{d:g}": copy() for d in extra_ema_decays}
                  if extra_ema_decays else None)
         return cls(params=params, opt_state=tx.init(params),
-                   ema_params=params, step=jnp.zeros((), jnp.int32),
+                   ema_params=copy(), step=jnp.zeros((), jnp.int32),
                    ema_extra=extra)
 
     def apply_gradients(self, grads, tx: optax.GradientTransformation,

@@ -279,7 +279,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     return total, (logs, renders, lods)
 
 
-def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
+def make_train_step(model, cfg: VAELossConfig, tx_cfg=None, donate=False,
                     disc_model=None, lpips_params=None):
     """Returns a jittable train_step(state, batch, rng) → (state, logs).
 
@@ -290,7 +290,10 @@ def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
     tx_cfg = tx_cfg or TrainStateConfig()
     tx = make_optimizer(tx_cfg)
 
-    @jax.jit
+    dec = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+           else jax.jit)
+
+    @dec
     def train_step(state: TrainState, batch, rng,
                    disc_params=None):
         def loss(p):
@@ -307,14 +310,18 @@ def make_train_step(model, cfg: VAELossConfig, tx_cfg=None,
     return train_step
 
 
-def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None):
+def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None,
+                   donate=False):
     """Discriminator step: hinge loss on real vs rendered images
     (`nsr/train_nv_util.py:2877-3014` d_step, every other run_loop)."""
     from gaussiananything_tpu.train.state import TrainStateConfig
     tx_cfg = tx_cfg or TrainStateConfig()
     tx = make_optimizer(tx_cfg)
 
-    @jax.jit
+    dec = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+           else jax.jit)
+
+    @dec
     def disc_step(disc_state: TrainState, gen_params, batch, rng):
         out = model.apply(gen_params, batch["images_in"], batch["pcd"], rng)
         fin = render_lods(
@@ -339,7 +346,8 @@ def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None):
 
 
 def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
-                          tx_cfg=None, disc_model=None, lpips_params=None):
+                          tx_cfg=None, disc_model=None, lpips_params=None,
+                          donate=False):
     """TRUE gradient accumulation (the reference's microbatch loop,
     `nsr/train_util.py:95`): grads averaged over n_micro sequential
     micro-slices via `lax.scan`, ONE optimiser step. The batch's leading
@@ -349,7 +357,10 @@ def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
     tx_cfg = tx_cfg or TrainStateConfig()
     tx = make_optimizer(tx_cfg)
 
-    @jax.jit
+    dec = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+           else jax.jit)
+
+    @dec
     def train_step(state: TrainState, batch, rng, disc_params=None):
         def micro(b, key):
             def loss(p):

@@ -54,7 +54,7 @@ def main():
     loss_cfg = VAELossConfig(lod_resolutions=(128, 256, 384, 512),
                              rand_coarse_lod=True)
     tx_cfg = TrainStateConfig(lr=1e-4, warmup_steps=10)
-    step_fn = make_train_step(model, loss_cfg, tx_cfg)
+    step_fn = make_train_step(model, loss_cfg, tx_cfg, donate=True)
     state = TrainState.create(params, make_optimizer(tx_cfg))
 
     t0 = time.perf_counter()
