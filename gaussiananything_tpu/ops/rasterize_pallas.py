@@ -725,3 +725,316 @@ def rasterize_tiled_pallas_v3(
         "dist": detile(out[:, :, 6]),
         "normal_view": detile(out[:, :, 7:10]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Kernel v4: field-major packed-step pipeline. THE production fused forward.
+#
+# Round-4 discovery: v1–v3's minutes-long (often non-terminating) Mosaic
+# compiles were NOT an environment limitation — they came from lane-dim
+# field indexing (`geom_ref[:, :, i]`, a vreg relayout per field that the
+# compiler unrolls pathologically). With FIELD-MAJOR blocks (fields on a
+# leading, untiled dim) the same math compiles in seconds at any grid.
+#
+# Design (vs the CUDA tile pipeline consumed at nsr/gs_surfel.py:85-114):
+#   * binning reuses the XLA `build_tile_pairs` sort (depth-ordered
+#     per-tile segments of one flat array);
+#   * XLA pre-gathers ONLY the executed (group, chunk) blocks into a
+#     dense step table (22, n_steps, G, chunk) — count-adaptive like the
+#     XLA hot loop, not the dense (T, max_per_tile) tables of v1–v3;
+#   * 1-D Pallas grid over PACKED steps (scalar-prefetched step → (group,
+#     chunk) maps): no grid slots for never-executed chunk iterations;
+#   * per-TILE early exit on saturated transmittance (finer than the XLA
+#     path's group-level exit);
+#   * all 13 output/state channels accumulate in the VMEM-resident output
+#     block (16, P, G) — state layout chosen so lane-reductions land on
+#     sublanes with NO relayout;
+#   * per-pair math identical to `composite_chunk_grouped` (same packed
+#     table, same gates); transmittance uses a lane-roll multiplicative
+#     doubling scan (exact product, different fp association than the
+#     XLA cumprod — last-ulp differences only).
+# ---------------------------------------------------------------------------
+
+
+def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
+                    unroll: bool = True):
+    P = tile * tile
+    G = group
+
+    def kernel(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, tab_ref, out_ref):
+        i = pl.program_id(0)
+        g = sg_ref[i]
+        c = sc_ref[i]
+        row0 = r0_ref[0].astype(jnp.float32)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[0, 0] = jnp.ones((P, G), jnp.float32)
+            out_ref[0, 1:16] = jnp.zeros((15, P, G), jnp.float32)
+
+        pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        lx = (pix % tile).astype(jnp.float32)
+        ly = (pix // tile).astype(jnp.float32)
+
+        def tile_body(j):
+            trans = out_ref[0, 0, :, j][:, None]            # (P, 1)
+
+            @pl.when((jnp.max(trans) > T_EPS) & (c < n_chunks_max))
+            def _():
+                t_lin = g * G + j
+                px = tx_ref[t_lin].astype(jnp.float32) * tile + lx
+                py = ty_ref[t_lin].astype(jnp.float32) * tile + ly + row0
+
+                def col(f):
+                    return tab_ref[f, 0, j, :].reshape(1, chunk)
+
+                # identical expression order to composite_chunk_grouped
+                p0 = px * col(0) + py * col(3) + col(6)     # (P, chunk)
+                p1 = px * col(1) + py * col(4) + col(7)
+                p2 = px * col(2) + py * col(5) + col(8)
+                safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+                inv = 1.0 / safe
+                u = p0 * inv
+                v = p1 * inv
+                rho3d = u * u + v * v
+                dx = px - col(12)
+                dy = py - col(13)
+                rho2d = rz.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+                use3d = rho3d <= rho2d
+                rho = jnp.minimum(rho3d, rho2d)
+                depth = jnp.where(use3d,
+                                  u * col(9) + v * col(10) + col(11),
+                                  col(14))
+                gau = jnp.exp(-0.5 * rho) * rz._rho_window(rho)
+                alpha = jnp.minimum(col(15) * gau, rz.ALPHA_MAX)
+                keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL)
+                alpha = jnp.where(keep, alpha, 0.0)
+                depth = jnp.where(keep, depth, 0.0)
+
+                # multiplicative doubling scan: t_incl[i] = Π_{k<=i}(1-α_k)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+                t_incl = 1.0 - alpha
+                s = 1
+                while s < chunk:
+                    sh = pltpu.roll(t_incl, shift=s, axis=1)
+                    t_incl = t_incl * jnp.where(lane >= s, sh, 1.0)
+                    s *= 2
+                t_excl = jnp.where(
+                    lane >= 1, pltpu.roll(t_incl, shift=1, axis=1), 1.0)
+                t_in = trans * t_excl
+                below = t_in <= T_EPS
+                w = jnp.where(below, 0.0, trans * alpha * t_excl)
+
+                def rsum(x):
+                    return jnp.sum(x, axis=1)               # (P,)
+
+                s_w = rsum(w)
+                out_ref[0, 1, :, j] += rsum(w * col(16))
+                out_ref[0, 2, :, j] += rsum(w * col(17))
+                out_ref[0, 3, :, j] += rsum(w * col(18))
+                out_ref[0, 5, :, j] += rsum(w * depth)
+                out_ref[0, 8, :, j] += rsum(w * col(19))
+                out_ref[0, 9, :, j] += rsum(w * col(20))
+                out_ref[0, 10, :, j] += rsum(w * col(21))
+
+                t_after = trans * t_incl
+                crossed = (t_in > 0.5) & (t_after <= 0.5)
+                out_ref[0, 6, :, j] += rsum(jnp.where(crossed, depth, 0.0))
+
+                # depth distortion: chunk sums + entry-state cross terms
+                zc = jnp.maximum(depth, ZNEAR)
+                m = (ZFAR * (zc - ZNEAR)) / (zc * (ZFAR - ZNEAR))
+                wm = w * m
+                s_wm = rsum(wm)
+                s_wm2 = rsum(wm * m)
+                A_in = out_ref[0, 4, :, j]                  # alpha_acc entry
+                D_in = out_ref[0, 11, :, j]
+                D2_in = out_ref[0, 12, :, j]
+                out_ref[0, 7, :, j] += (A_in * s_wm2 + D2_in * s_w
+                                        - 2.0 * D_in * s_wm
+                                        + (s_w * s_wm2 - s_wm * s_wm))
+                out_ref[0, 4, :, j] = A_in + s_w
+                out_ref[0, 11, :, j] = D_in + s_wm
+                out_ref[0, 12, :, j] = D2_in + s_wm2
+
+                t_raw = (trans * t_incl[:, chunk - 1:chunk])[:, 0]
+                out_ref[0, 0, :, j] = jnp.where(t_raw > T_EPS, t_raw, 0.0)
+
+        if unroll:
+            for j in range(G):
+                tile_body(j)
+        else:
+            jax.lax.fori_loop(0, G, lambda j, _: (tile_body(j), None)[1],
+                              None)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "group", "steps_per_group", "full_h", "big_capacity",
+                     "interpret"))
+def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                       cam_view_proj: jnp.ndarray, tanfov,
+                       bg_color: jnp.ndarray, img_h: int, img_w: int,
+                       tile: int = 16, max_per_tile: int = 2048,
+                       chunk: int = 256, group: int = 8,
+                       steps_per_group: float = 2.0, full_h: int = 0,
+                       row0=0, big_capacity: int = 0,
+                       interpret=None) -> Dict[str, jnp.ndarray]:
+    """v4 fused forward (see kernel docstring). Same output dict as
+    `rz.rasterize_tiled`; non-differentiable (use `rasterize_tiled_v4_vjp`
+    for training).
+
+    steps_per_group bounds the packed-step budget: cap = n_groups ×
+    steps_per_group. Groups are count-sorted descending and budget is
+    assigned greedily (every group keeps its first step — init + chunk 0
+    — so starvation degrades the SHALLOWEST tiles' tails first, the same
+    farthest-first degradation direction as the max_per_tile cap).
+    """
+    assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
+    sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
+                              full_h or img_h, img_w, tanfov)
+    spx = jax.tree.map(jax.lax.stop_gradient, sp)
+    pairs, starts, counts = rz.build_tile_pairs(
+        spx, img_h, img_w, tile, max_per_tile, row0=row0,
+        big_capacity=big_capacity)
+
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    P = tile * tile
+    if n_tiles % group != 0:
+        import math
+        group = math.gcd(group, n_tiles)
+    G = group
+    n_groups = n_tiles // G
+    n_chunks_max = max_per_tile // chunk
+
+    # ---- count-sorted groups + packed step map ----------------------------
+    order = jnp.argsort(-counts)
+    counts_s = jnp.take(counts, order)
+    starts_s = jnp.take(starts, order)
+    gmax = counts_s[::G]
+    n_act = jnp.clip((gmax + chunk - 1) // chunk, 1, n_chunks_max)
+
+    cap = int(n_groups * steps_per_group)
+    # every group gets 1 guaranteed step; extra chunks granted greedily in
+    # count order until the budget runs out
+    extra = n_act - 1
+    cum_prev = jnp.cumsum(extra) - extra
+    allowed = jnp.clip(cap - n_groups - cum_prev, 0, extra)
+    n_act2 = 1 + allowed
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(n_act2).astype(jnp.int32)])
+    total = offs[-1]                                        # <= cap
+    mark = jnp.zeros((cap,), jnp.int32).at[offs[1:-1]].add(
+        1, mode="drop")
+    step_group = jnp.cumsum(mark)
+    step_chunk = (jnp.arange(cap, dtype=jnp.int32)
+                  - jnp.take(offs, step_group))
+    live = jnp.arange(cap, dtype=jnp.int32) < total
+    step_group = jnp.where(live, step_group, n_groups - 1)
+    step_chunk = jnp.where(live, step_chunk, n_chunks_max)
+
+    # ---- gather the executed blocks into the dense step table --------------
+    N = gaussians.shape[0]
+    packed = rz.pack_splat_render(sp)                       # (22, N)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
+    starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
+    counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
+    lane = jnp.arange(chunk, dtype=jnp.int32)
+    pos = step_chunk[:, None, None] * chunk + lane[None, None, :]
+    slot = starts_gj[:, :, None] + pos                      # (cap, G, chunk)
+    in_rng = pos < counts_gj[:, :, None]
+    sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
+    sid = jnp.where(in_rng.reshape(-1), sid, N)             # dummy splat
+    tab = jnp.take(packed, sid, axis=1).reshape(
+        rz.PACKED_F, cap, G, chunk)
+
+    tx = (order % tiles_x).astype(jnp.int32)
+    ty = (order // tiles_x).astype(jnp.int32)
+    r0 = jnp.asarray(row0, jnp.int32).reshape(1)
+
+    kernel = _make_v4_kernel(tile, chunk, G, n_chunks_max)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((rz.PACKED_F, 1, G, chunk),
+                         lambda i, sg, sc, tx, ty, r0: (0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 16, P, G),
+            lambda i, sg, sc, tx, ty, r0: (sg[i], 0, 0, 0)),
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups, 16, P, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(step_group, step_chunk, tx, ty, r0, tab)
+
+    # (n_groups, 16, P, G) → (n_tiles, P, 16) in ORIGINAL tile order
+    o = jnp.transpose(out, (0, 3, 2, 1)).reshape(n_tiles, P, 16)
+    inv = jnp.argsort(order)
+    o = jnp.take(o, inv, axis=0)
+    o = o.reshape(tiles_y, tiles_x, tile, tile, 16)
+    o = jnp.moveaxis(o, 2, 1).reshape(img_h, img_w, 16)
+
+    trans = o[..., 0]
+    return {
+        "image": o[..., 1:4] + trans[..., None] * bg_color,
+        "alpha": o[..., 4],
+        "depth_expected": o[..., 5],
+        "depth_median": o[..., 6],
+        "dist": o[..., 7],
+        "normal_view": o[..., 8:11],
+    }
+
+
+
+def rasterize_tiled_v4_vjp(gaussians, cam_view, cam_view_proj, tanfov,
+                           bg_color, img_h: int, img_w: int, tile: int = 16,
+                           max_per_tile: int = 2048, chunk: int = 256,
+                           group: int = 8, tile_group: int = 16,
+                           full_h: int = 0, row0=0):
+    """v4 Pallas forward + XLA hand-managed-VJP backward via custom_vjp.
+
+    The backward recomputes through `rz.rasterize_tiled` (whose
+    `_composite_frame` carries the analytic reverse-scan VJP); values come
+    from the fused kernel. Value/gradient pairing is consistent to fp
+    association (the two forwards share every gate; transmittance products
+    differ in the last ulp only).
+    """
+
+    @jax.custom_vjp
+    def _render(g):
+        return rasterize_tiled_v4(
+            g, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
+            tile=tile, max_per_tile=max_per_tile, chunk=chunk, group=group,
+            full_h=full_h, row0=row0)
+
+    def _fwd(g):
+        return _render(g), g
+
+    def _bwd(g, ct):
+        def xla_path(gg):
+            return rz.rasterize_tiled(
+                gg, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
+                tile=tile, max_per_tile=max_per_tile, chunk=chunk,
+                tile_group=tile_group, full_h=full_h, row0=row0)
+
+        _, vjp = jax.vjp(xla_path, g)
+        return vjp(ct)
+
+    _render.defvjp(_fwd, _bwd)
+    return _render(gaussians)
