@@ -7,10 +7,17 @@ Baseline context: the reference repo publishes no rasterizer throughput
 `diff-surfel-rasterization` at 512²/73,728 splats: ~200 fps forward ⇒
 ~5.2e7 rays/s. `vs_baseline` = ours / that estimate.
 
-Measurement noise: the axon tunnel adds ±10–15% per process invocation
-(BENCH_NOTES.md). The bench therefore runs REPEATS timed batches and
-reports the MEDIAN (the headline `value`) plus min/max spread fields, so
-round-over-round deltas are distinguishable from tunnel noise.
+Methodology:
+  * Production forward path: the Pallas v4 fused kernel
+    (`render_multiview(..., impl="fused_nograd")`) — all allmap channels
+    computed, matching what the CUDA forward produces per call.
+  * Frames run inside ONE jit (fori_loop with a data dependency), as the
+    production consumers do (jitted sampler loops / train steps) — the
+    axon tunnel adds ~3–5 ms of per-dispatch overhead that no real
+    workload pays per frame.
+  * REPEATS timed batches; the MEDIAN is the headline `value`, min/max
+    spread fields expose the tunnel's ±10–15% process-level noise
+    (BENCH_NOTES.md).
 """
 from __future__ import annotations
 
@@ -24,7 +31,7 @@ import numpy as np
 
 A100_RAYS_PER_S_ESTIMATE = 5.2e7
 REPEATS = 7          # timed batches (median reported)
-ITERS_PER_REPEAT = 5
+ITERS_PER_REPEAT = 20
 
 
 def main():
@@ -45,22 +52,24 @@ def main():
             cam["cam_view_proj"][None, None],
             jnp.broadcast_to(cam["tanfov"], (1, 1)),
             jnp.ones((1, 1, 3)), res,
-            tile=16, max_per_tile=2048, chunk=256, tile_group=16)["image"]
+            tile=16, max_per_tile=2048, chunk=128, tile_group=16,
+            impl="fused_nograd")["image"]
 
-    jit_render = jax.jit(render)
-    out = jit_render(g)
-    out.block_until_ready()  # compile
-    # Validate once: a silently-elided executable reads at the dispatch
-    # floor (BENCH_NOTES "measurement pitfalls").
-    digest = float(jnp.sum(out))
-    assert np.isfinite(digest) and digest != 0.0
+    def frame_step(i, acc):
+        out = render(g + acc * 1e-20)
+        return acc + jnp.sum(out) * 1e-9
+
+    @jax.jit
+    def run_batch(x):
+        return jax.lax.fori_loop(0, ITERS_PER_REPEAT, frame_step, x)
+
+    digest = float(jax.block_until_ready(run_batch(jnp.float32(0.0))))
+    assert np.isfinite(digest) and digest != 0.0  # elision guard
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        for _ in range(ITERS_PER_REPEAT):
-            out = jit_render(g)
-        out.block_until_ready()
+        jax.block_until_ready(run_batch(jnp.float32(0.0)))
         times.append((time.perf_counter() - t0) / ITERS_PER_REPEAT)
 
     dt = statistics.median(times)

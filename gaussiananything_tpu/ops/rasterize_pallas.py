@@ -879,8 +879,8 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                        cam_view_proj: jnp.ndarray, tanfov,
                        bg_color: jnp.ndarray, img_h: int, img_w: int,
                        tile: int = 16, max_per_tile: int = 2048,
-                       chunk: int = 256, group: int = 8,
-                       steps_per_group: float = 2.0, full_h: int = 0,
+                       chunk: int = 128, group: int = 16,
+                       steps_per_group: float = 3.0, full_h: int = 0,
                        row0=0, big_capacity: int = 0,
                        interpret=None) -> Dict[str, jnp.ndarray]:
     """v4 fused forward (see kernel docstring). Same output dict as
@@ -1004,8 +1004,8 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
 
 def rasterize_tiled_v4_vjp(gaussians, cam_view, cam_view_proj, tanfov,
                            bg_color, img_h: int, img_w: int, tile: int = 16,
-                           max_per_tile: int = 2048, chunk: int = 256,
-                           group: int = 8, tile_group: int = 16,
+                           max_per_tile: int = 2048, chunk: int = 128,
+                           group: int = 16, tile_group: int = 16,
                            full_h: int = 0, row0=0):
     """v4 Pallas forward + XLA hand-managed-VJP backward via custom_vjp.
 

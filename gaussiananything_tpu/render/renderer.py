@@ -26,7 +26,7 @@ class GaussianRenderer2DGS:
     def __init__(self, output_size: int = 512, tile: int = 16,
                  max_per_tile: int = 1024, chunk: int = 256,
                  tile_group: int = 16,
-                 bg_color=(1.0, 1.0, 1.0)):
+                 bg_color=(1.0, 1.0, 1.0), impl: str = "xla"):
         # defaults = the measured 512² optimum (BENCH_NOTES round-3 sweep)
         self.output_size = output_size
         self.tile = tile
@@ -34,6 +34,7 @@ class GaussianRenderer2DGS:
         self.chunk = chunk
         self.tile_group = tile_group
         self.bg_color = jnp.asarray(bg_color, jnp.float32)
+        self.impl = impl
 
     def render(self, gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                cam_view_proj: jnp.ndarray, cam_pos: jnp.ndarray,
@@ -49,20 +50,42 @@ class GaussianRenderer2DGS:
             bg = jnp.broadcast_to(bg, (B, V, 3))
         return render_multiview(
             gaussians, cam_view, cam_view_proj, tanfov, bg, out_size,
-            self.tile, self.max_per_tile, self.chunk, self.tile_group)
+            self.tile, self.max_per_tile, self.chunk, self.tile_group,
+            impl=self.impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "tile", "max_per_tile", "chunk",
-                     "tile_group"))
+                     "tile_group", "impl"))
 def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
                      out_size: int, tile: int, max_per_tile: int, chunk: int,
-                     tile_group: int) -> Dict[str, jnp.ndarray]:
+                     tile_group: int, impl: str = "xla"
+                     ) -> Dict[str, jnp.ndarray]:
+    """impl: "xla" = differentiable XLA compositing loop (hand-managed
+    reverse-scan VJP — the training path); "fused" = the Pallas v4 fused
+    forward kernel with gradients via the XLA VJP (fast value pass —
+    inference, eval, and value-only bench); "fused_nograd" = v4 forward
+    only (no custom_vjp wrapper)."""
     def one_view(g, cv, cvp, tf, bgc):
-        out = rz.rasterize_tiled(
-            g, cv, cvp, tf, bgc, out_size, out_size, tile=tile,
-            max_per_tile=max_per_tile, chunk=chunk, tile_group=tile_group)
+        if impl == "fused":
+            from gaussiananything_tpu.ops.rasterize_pallas import (
+                rasterize_tiled_v4_vjp)
+            out = rasterize_tiled_v4_vjp(
+                g, cv, cvp, tf, bgc, out_size, out_size, tile=tile,
+                max_per_tile=max_per_tile, chunk=chunk,
+                tile_group=tile_group)
+        elif impl == "fused_nograd":
+            from gaussiananything_tpu.ops.rasterize_pallas import (
+                rasterize_tiled_v4)
+            out = rasterize_tiled_v4(
+                g, cv, cvp, tf, bgc, out_size, out_size, tile=tile,
+                max_per_tile=max_per_tile, chunk=chunk)
+        else:
+            out = rz.rasterize_tiled(
+                g, cv, cvp, tf, bgc, out_size, out_size, tile=tile,
+                max_per_tile=max_per_tile, chunk=chunk,
+                tile_group=tile_group)
         # world-space normal: row-vector view → world rotation is cv[:3,:3]
         # applied inverse ⇒ n_world = n_view @ cv[:3,:3].T  (parity with
         # `nsr/gs_surfel.py:128`, which right-multiplies by view_matrix[:3,:3].T).
