@@ -884,7 +884,7 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                        row0=0, big_capacity: int = 0,
                        interpret=None) -> Dict[str, jnp.ndarray]:
     """v4 fused forward (see kernel docstring). Same output dict as
-    `rz.rasterize_tiled`; non-differentiable (use `rasterize_tiled_v4_vjp`
+    `rz.rasterize_tiled`; non-differentiable (use `rasterize_tiled_v4_train`
     for training).
 
     steps_per_group bounds the packed-step budget: cap = n_groups ×
@@ -1002,39 +1002,450 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
 
 
 
-def rasterize_tiled_v4_vjp(gaussians, cam_view, cam_view_proj, tanfov,
-                           bg_color, img_h: int, img_w: int, tile: int = 16,
-                           max_per_tile: int = 2048, chunk: int = 128,
-                           group: int = 16, tile_group: int = 16,
-                           full_h: int = 0, row0=0):
-    """v4 Pallas forward + XLA hand-managed-VJP backward via custom_vjp.
+# ---------------------------------------------------------------------------
+# v4 training path: fused forward + fused ANALYTIC backward kernel.
+#
+# The forward variant additionally streams each step's 4-channel ENTRY
+# state (trans, alpha_acc, dist_d, dist_d2 — all the backward needs besides
+# the table) to HBM: (cap, 4, P, G) ≈ 10 MB at 512², vs the 109 MB
+# full-PixelState checkpoint of the XLA reverse-scan VJP. The backward
+# kernel walks the packed steps in REVERSE (index_map cap-1-i), recomputes
+# the chunk forward from the entry state, applies the same analytic
+# adjoints as `rz._chunk_backward`, carries the state cotangent per group
+# in VMEM scratch, and writes each step's d_tab block EXCLUSIVELY — the
+# kernel does zero scatters; splat-space reduction happens in XLA through
+# the table gather's autodiff VJP (one batched scatter-add).
+# ---------------------------------------------------------------------------
 
-    The backward recomputes through `rz.rasterize_tiled` (whose
-    `_composite_frame` carries the analytic reverse-scan VJP); values come
-    from the fused kernel. Value/gradient pairing is consistent to fp
-    association (the two forwards share every gate; transmittance products
-    differ in the last ulp only).
+
+def _v4_fwd_entries_kernel(tile: int, chunk: int, group: int,
+                           n_chunks_max: int):
+    """Forward kernel that also writes per-step entry states."""
+    base = _make_v4_kernel(tile, chunk, group, n_chunks_max)
+    P = tile * tile
+    G = group
+
+    def kernel(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, tab_ref, out_ref,
+               entry_ref):
+        c = sc_ref[pl.program_id(0)]
+
+        # init first (c == 0), so entries see the initialized state
+        @pl.when(c == 0)
+        def _():
+            out_ref[0, 0] = jnp.ones((P, G), jnp.float32)
+            out_ref[0, 1:16] = jnp.zeros((15, P, G), jnp.float32)
+
+        entry_ref[0, 0] = out_ref[0, 0]
+        entry_ref[0, 1] = out_ref[0, 4]
+        entry_ref[0, 2] = out_ref[0, 11]
+        entry_ref[0, 3] = out_ref[0, 12]
+        base(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, tab_ref, out_ref)
+
+    return kernel
+
+
+def _v4_bwd_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
+                   cap: int):
+    P = tile * tile
+    G = group
+    F2 = rz.FILTER_INV_SQUARE
+
+    def kernel(sg_ref, sc_ref, nact_ref, tx_ref, ty_ref, r0_ref,
+               tab_ref, entry_ref, ct_ref, dtab_ref, scr_ref):
+        i = pl.program_id(0)
+        ir = cap - 1 - i
+        g = sg_ref[ir]
+        c = sc_ref[ir]
+        row0 = r0_ref[0].astype(jnp.float32)
+
+        # first visit of this group in reverse order = its last executed
+        # chunk: seed the state cotangent from the output cotangent block
+        @pl.when(c == nact_ref[g] - 1)
+        def _():
+            scr_ref[:, :, :] = ct_ref[0]
+
+        dtab_ref[:, :, :, :] = jnp.zeros((rz.PACKED_F, 1, G, chunk),
+                                         jnp.float32)
+
+        pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        lx = (pix % tile).astype(jnp.float32)
+        ly = (pix // tile).astype(jnp.float32)
+
+        def tile_body(j):
+            tau = entry_ref[0, 0, :, j][:, None]            # (P, 1)
+
+            @pl.when((jnp.max(tau) > T_EPS) & (c < n_chunks_max))
+            def _():
+                t_lin = g * G + j
+                px = tx_ref[t_lin].astype(jnp.float32) * tile + lx
+                py = ty_ref[t_lin].astype(jnp.float32) * tile + ly + row0
+
+                def col(f):
+                    return tab_ref[f, 0, j, :].reshape(1, chunk)
+
+                # ---- forward recompute (identical expression order) ----
+                p0 = px * col(0) + py * col(3) + col(6)
+                p1 = px * col(1) + py * col(4) + col(7)
+                p2 = px * col(2) + py * col(5) + col(8)
+                safe = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+                inv = 1.0 / safe
+                u = p0 * inv
+                v = p1 * inv
+                rho3d = u * u + v * v
+                dx = px - col(12)
+                dy = py - col(13)
+                rho2d = F2 * (dx * dx + dy * dy)
+                use3d = rho3d <= rho2d
+                rho = jnp.minimum(rho3d, rho2d)
+                depth = jnp.where(use3d,
+                                  u * col(9) + v * col(10) + col(11),
+                                  col(14))
+                expw = jnp.exp(-0.5 * rho)
+                win = rz._rho_window(rho)
+                gau = expw * win
+                og = col(15) * gau
+                alpha_raw = jnp.minimum(og, rz.ALPHA_MAX)
+                keep = (alpha_raw >= ALPHA_EPS) & (depth > NEAR_CULL)
+                alpha = jnp.where(keep, alpha_raw, 0.0)
+                depth = jnp.where(keep, depth, 0.0)
+
+                lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+                t_incl = 1.0 - alpha
+                s = 1
+                while s < chunk:
+                    sh = pltpu.roll(t_incl, shift=s, axis=1)
+                    t_incl = t_incl * jnp.where(lane >= s, sh, 1.0)
+                    s *= 2
+                t_excl = jnp.where(
+                    lane >= 1, pltpu.roll(t_incl, shift=1, axis=1), 1.0)
+                t_in = tau * t_excl
+                below = t_in <= T_EPS
+                w = jnp.where(below, 0.0, tau * alpha * t_excl)
+                t_last = t_incl[:, chunk - 1:chunk]
+                t_after = tau * t_incl
+                crossed = (t_in > 0.5) & (t_after <= 0.5)
+                zc = jnp.maximum(depth, ZNEAR)
+                m = (ZFAR * (zc - ZNEAR)) / (zc * (ZFAR - ZNEAR))
+                wm = w * m
+
+                def rsum(x):                                # (P, 1)
+                    return jnp.sum(x, axis=1, keepdims=True)
+
+                def csum(x):                                # (1, chunk)
+                    return jnp.sum(x, axis=0, keepdims=True)
+
+                s_w = rsum(w)
+                s_wm = rsum(wm)
+                s_wm2 = rsum(wm * m)
+
+                # ---- state-in / chunk-sum cotangents -------------------
+                A_in = entry_ref[0, 1, :, j][:, None]
+                D_in = entry_ref[0, 2, :, j][:, None]
+                D2_in = entry_ref[0, 3, :, j][:, None]
+                ct_tr = scr_ref[0, :, j][:, None]
+                ct_r0 = scr_ref[1, :, j][:, None]
+                ct_r1 = scr_ref[2, :, j][:, None]
+                ct_r2 = scr_ref[3, :, j][:, None]
+                ct_A = scr_ref[4, :, j][:, None]
+                ct_de = scr_ref[5, :, j][:, None]
+                ct_md = scr_ref[6, :, j][:, None]
+                ct_di = scr_ref[7, :, j][:, None]
+                ct_n0 = scr_ref[8, :, j][:, None]
+                ct_n1 = scr_ref[9, :, j][:, None]
+                ct_n2 = scr_ref[10, :, j][:, None]
+                ct_Dw = scr_ref[11, :, j][:, None]
+                ct_Dw2 = scr_ref[12, :, j][:, None]
+
+                ct_A_new = ct_A + ct_di * s_wm2
+                ct_Dw_new = ct_Dw - 2.0 * ct_di * s_wm
+                ct_Dw2_new = ct_Dw2 + ct_di * s_w
+                ct_s_w = ct_A + ct_di * (D2_in + s_wm2)
+                ct_s_wm = ct_Dw - 2.0 * ct_di * (D_in + s_wm)
+                ct_s_wm2 = ct_Dw2 + ct_di * (A_in + s_w)
+
+                cw = (ct_r0 * col(16) + ct_r1 * col(17) + ct_r2 * col(18)
+                      + ct_n0 * col(19) + ct_n1 * col(20) + ct_n2 * col(21)
+                      + ct_s_w + ct_de * depth
+                      + ct_s_wm * m + ct_s_wm2 * (m * m))
+                cw = jnp.where(below, 0.0, cw)
+
+                # ---- alpha / transmittance chain -----------------------
+                q = cw * w
+                incl = q
+                s = 1
+                while s < chunk:
+                    sh = pltpu.roll(incl, shift=s, axis=1)
+                    incl = incl + jnp.where(lane >= s, sh, 0.0)
+                    s *= 2
+                suffix = incl[:, chunk - 1:chunk] - incl
+                trans_raw = tau * t_last
+                flushed = trans_raw <= T_EPS
+                ct_trans_out = jnp.where(flushed, 0.0, ct_tr)
+                trans_out = jnp.where(flushed, 0.0, trans_raw)
+                bracket = suffix + ct_trans_out * trans_out
+                ct_alpha = cw * tau * t_excl - bracket / (1.0 - alpha)
+                ct_tr_new = (rsum(cw * alpha * t_excl)
+                             + ct_trans_out * t_last)
+
+                # ---- depth / mapped-depth chain ------------------------
+                ct_m = ct_s_wm * w + ct_s_wm2 * (2.0 * w * m)
+                dm_dz = jnp.where(depth >= ZNEAR,
+                                  (ZFAR * ZNEAR / (ZFAR - ZNEAR)) / (zc * zc),
+                                  0.0)
+                ct_depth = (ct_de * w + ct_md * crossed + ct_m * dm_dz)
+                ct_depth = jnp.where(keep, ct_depth, 0.0)
+                k3 = keep & use3d
+                ct_depth3 = jnp.where(k3, ct_depth, 0.0)
+                ct_num = ct_depth3 * inv
+                dtab_ref[14, 0, j, :] = csum(
+                    jnp.where(keep & ~use3d, ct_depth, 0.0))[0]
+
+                # ---- opacity / gaussian chain --------------------------
+                ct_og = jnp.where(keep & (og < rz.ALPHA_MAX), ct_alpha, 0.0)
+                dtab_ref[15, 0, j, :] = csum(ct_og * gau)[0]
+                ct_g = ct_og * col(15)
+                ramp = rz.RHO_CUT - rho
+                dwin = jnp.where((ramp > 0.0) & (ramp < rz.RHO_RAMP),
+                                 -1.0 / rz.RHO_RAMP, 0.0)
+                ct_rho = ct_g * (expw * dwin - 0.5 * expw * win)
+                ct_rho3d = jnp.where(use3d, ct_rho, 0.0)
+                ct_rho2d = jnp.where(use3d, 0.0, ct_rho)
+                ct_u = 2.0 * u * ct_rho3d
+                ct_v = 2.0 * v * ct_rho3d
+                ct_dx = ct_rho2d * F2 * 2.0 * dx
+                ct_dy = ct_rho2d * F2 * 2.0 * dy
+                dtab_ref[12, 0, j, :] = -csum(ct_dx)[0]
+                dtab_ref[13, 0, j, :] = -csum(ct_dy)[0]
+
+                # ---- projective ray-plane chain ------------------------
+                ct_p0 = ct_u * inv
+                ct_p1 = ct_v * inv
+                ct_inv = ct_u * p0 + ct_v * p1 + ct_depth3 * (depth * safe)
+                ct_safe = -(inv * inv) * ct_inv
+                ct_p2 = jnp.where(jnp.abs(p2) < 1e-9, 0.0, ct_safe)
+
+                ct_tza = csum(px * ct_num)
+                ct_tzb = csum(py * ct_num)
+                ct_tzc = csum(ct_num)
+                tz0, tz1, tz2 = col(9), col(10), col(11)
+                dtab_ref[0, 0, j, :] = (csum(px * ct_p0)
+                                        + ct_tza * tz0)[0]
+                dtab_ref[1, 0, j, :] = (csum(px * ct_p1)
+                                        + ct_tza * tz1)[0]
+                dtab_ref[2, 0, j, :] = (csum(px * ct_p2)
+                                        + ct_tza * tz2)[0]
+                dtab_ref[3, 0, j, :] = (csum(py * ct_p0)
+                                        + ct_tzb * tz0)[0]
+                dtab_ref[4, 0, j, :] = (csum(py * ct_p1)
+                                        + ct_tzb * tz1)[0]
+                dtab_ref[5, 0, j, :] = (csum(py * ct_p2)
+                                        + ct_tzb * tz2)[0]
+                dtab_ref[6, 0, j, :] = (csum(ct_p0) + ct_tzc * tz0)[0]
+                dtab_ref[7, 0, j, :] = (csum(ct_p1) + ct_tzc * tz1)[0]
+                dtab_ref[8, 0, j, :] = (csum(ct_p2) + ct_tzc * tz2)[0]
+                dtab_ref[9, 0, j, :] = (ct_tza * col(0) + ct_tzb * col(3)
+                                        + ct_tzc * col(6))[0]
+                dtab_ref[10, 0, j, :] = (ct_tza * col(1) + ct_tzb * col(4)
+                                         + ct_tzc * col(7))[0]
+                dtab_ref[11, 0, j, :] = (ct_tza * col(2) + ct_tzb * col(5)
+                                         + ct_tzc * col(8))[0]
+
+                dtab_ref[16, 0, j, :] = csum(w * ct_r0)[0]
+                dtab_ref[17, 0, j, :] = csum(w * ct_r1)[0]
+                dtab_ref[18, 0, j, :] = csum(w * ct_r2)[0]
+                dtab_ref[19, 0, j, :] = csum(w * ct_n0)[0]
+                dtab_ref[20, 0, j, :] = csum(w * ct_n1)[0]
+                dtab_ref[21, 0, j, :] = csum(w * ct_n2)[0]
+
+                # ---- carry the state cotangent backward ----------------
+                scr_ref[0, :, j] = ct_tr_new[:, 0]
+                scr_ref[4, :, j] = ct_A_new[:, 0]
+                scr_ref[11, :, j] = ct_Dw_new[:, 0]
+                scr_ref[12, :, j] = ct_Dw2_new[:, 0]
+
+        for j in range(G):
+            tile_body(j)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "group", "steps_per_group", "full_h", "big_capacity",
+                     "interpret"))
+def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                             cam_view_proj: jnp.ndarray, tanfov,
+                             bg_color: jnp.ndarray, img_h: int, img_w: int,
+                             tile: int = 16, max_per_tile: int = 2048,
+                             chunk: int = 128, group: int = 16,
+                             steps_per_group: float = 3.0, full_h: int = 0,
+                             row0=0, big_capacity: int = 0,
+                             interpret=None) -> Dict[str, jnp.ndarray]:
+    """v4 fused forward + fused analytic Pallas BACKWARD (training path).
+
+    Fully differentiable w.r.t. `gaussians`: the custom_vjp boundary wraps
+    only the Pallas composite (table blocks → state blocks); preprocess,
+    packing, the table gather (whose autodiff VJP is the splat-space
+    scatter-add), de-tiling, and the bg blend stay in XLA autodiff.
+    Replaces the CUDA analytic BACKWARD kernel of
+    diff-surfel-rasterization (consumed at nsr/gs_surfel.py:15).
     """
+    assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
+    sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
+                              full_h or img_h, img_w, tanfov)
+    spx = jax.tree.map(jax.lax.stop_gradient, sp)
+    pairs, starts, counts = rz.build_tile_pairs(
+        spx, img_h, img_w, tile, max_per_tile, row0=row0,
+        big_capacity=big_capacity)
+
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    P = tile * tile
+    if n_tiles % group != 0:
+        import math
+        group = math.gcd(group, n_tiles)
+    G = group
+    n_groups = n_tiles // G
+    n_chunks_max = max_per_tile // chunk
+
+    order = jnp.argsort(-counts)
+    counts_s = jnp.take(counts, order)
+    starts_s = jnp.take(starts, order)
+    gmax = counts_s[::G]
+    n_act = jnp.clip((gmax + chunk - 1) // chunk, 1, n_chunks_max)
+
+    cap = int(n_groups * steps_per_group)
+    extra = n_act - 1
+    cum_prev = jnp.cumsum(extra) - extra
+    allowed = jnp.clip(cap - n_groups - cum_prev, 0, extra)
+    n_act2 = (1 + allowed).astype(jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(n_act2).astype(jnp.int32)])
+    total = offs[-1]
+    mark = jnp.zeros((cap,), jnp.int32).at[offs[1:-1]].add(1, mode="drop")
+    step_group = jnp.cumsum(mark)
+    step_chunk = (jnp.arange(cap, dtype=jnp.int32)
+                  - jnp.take(offs, step_group))
+    live = jnp.arange(cap, dtype=jnp.int32) < total
+    step_group = jnp.where(live, step_group, n_groups - 1)
+    step_chunk = jnp.where(live, step_chunk, n_chunks_max)
+
+    N = gaussians.shape[0]
+    packed = rz.pack_splat_render(sp)                       # differentiable
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
+    starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
+    counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
+    lane = jnp.arange(chunk, dtype=jnp.int32)
+    pos = step_chunk[:, None, None] * chunk + lane[None, None, :]
+    slot = starts_gj[:, :, None] + pos
+    in_rng = pos < counts_gj[:, :, None]
+    sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
+    sid = jnp.where(in_rng.reshape(-1), sid, N)
+    # differentiable gather: its VJP is the splat-space scatter-add
+    tab = jnp.take(packed, sid, axis=1).reshape(rz.PACKED_F, cap, G, chunk)
+
+    tx = (order % tiles_x).astype(jnp.int32)
+    ty = (order // tiles_x).astype(jnp.int32)
+    r0 = jnp.asarray(row0, jnp.int32).reshape(1)
+    if interpret is None:
+        interp = jax.default_backend() != "tpu"
+    else:
+        interp = interpret
 
     @jax.custom_vjp
-    def _render(g):
-        return rasterize_tiled_v4(
-            g, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
-            tile=tile, max_per_tile=max_per_tile, chunk=chunk, group=group,
-            full_h=full_h, row0=row0)
+    def composite(tab, step_group, step_chunk, n_act2, tx, ty, r0):
+        out, _ = composite_fwd_res(tab, step_group, step_chunk, tx, ty, r0)
+        return out
 
-    def _fwd(g):
-        return _render(g), g
+    def composite_fwd_res(tab, step_group, step_chunk, tx, ty, r0):
+        kernel = _v4_fwd_entries_kernel(tile, chunk, G, n_chunks_max)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(cap,),
+            in_specs=[
+                pl.BlockSpec((rz.PACKED_F, 1, G, chunk),
+                             lambda i, sg, sc, tx, ty, r0: (0, i, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 16, P, G),
+                             lambda i, sg, sc, tx, ty, r0:
+                             (sg[i], 0, 0, 0)),
+                pl.BlockSpec((1, 4, P, G),
+                             lambda i, sg, sc, tx, ty, r0: (i, 0, 0, 0)),
+            ),
+        )
+        out, entry = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_groups, 16, P, G), jnp.float32),
+                jax.ShapeDtypeStruct((cap, 4, P, G), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            interpret=interp,
+        )(step_group, step_chunk, tx, ty, r0, tab)
+        return out, entry
 
-    def _bwd(g, ct):
-        def xla_path(gg):
-            return rz.rasterize_tiled(
-                gg, cam_view, cam_view_proj, tanfov, bg_color, img_h, img_w,
-                tile=tile, max_per_tile=max_per_tile, chunk=chunk,
-                tile_group=tile_group, full_h=full_h, row0=row0)
+    def composite_fwd(tab, step_group, step_chunk, n_act2, tx, ty, r0):
+        out, entry = composite_fwd_res(tab, step_group, step_chunk, tx, ty,
+                                       r0)
+        return out, (tab, entry, step_group, step_chunk, n_act2, tx, ty, r0)
 
-        _, vjp = jax.vjp(xla_path, g)
-        return vjp(ct)
+    def composite_bwd(res, ct):
+        tab, entry, step_group, step_chunk, n_act2, tx, ty, r0 = res
+        kernel = _v4_bwd_kernel(tile, chunk, G, n_chunks_max, cap)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(cap,),
+            in_specs=[
+                pl.BlockSpec((rz.PACKED_F, 1, G, chunk),
+                             lambda i, *s: (0, cap - 1 - i, 0, 0)),
+                pl.BlockSpec((1, 4, P, G),
+                             lambda i, *s: (cap - 1 - i, 0, 0, 0)),
+                pl.BlockSpec((1, 16, P, G),
+                             lambda i, sg, *s: (sg[cap - 1 - i], 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (rz.PACKED_F, 1, G, chunk),
+                lambda i, *s: (0, cap - 1 - i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((16, P, G), jnp.float32)],
+        )
+        d_tab = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rz.PACKED_F, cap, G, chunk),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            interpret=interp,
+        )(step_group, step_chunk, n_act2, tx, ty, r0, tab, entry, ct)
+        import numpy as _np
+        f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+        return (d_tab, f0(step_group), f0(step_chunk), f0(n_act2), f0(tx),
+                f0(ty), f0(r0))
 
-    _render.defvjp(_fwd, _bwd)
-    return _render(gaussians)
+    composite.defvjp(composite_fwd, composite_bwd)
+    out = composite(tab, step_group, step_chunk, n_act2, tx, ty, r0)
+
+    o = jnp.transpose(out, (0, 3, 2, 1)).reshape(n_tiles, P, 16)
+    inv = jax.lax.stop_gradient(jnp.argsort(order))
+    o = jnp.take(o, inv, axis=0)
+    o = o.reshape(tiles_y, tiles_x, tile, tile, 16)
+    o = jnp.moveaxis(o, 2, 1).reshape(img_h, img_w, 16)
+
+    trans = o[..., 0]
+    return {
+        "image": o[..., 1:4] + trans[..., None] * bg_color,
+        "alpha": o[..., 4],
+        "depth_expected": o[..., 5],
+        "depth_median": o[..., 6],
+        "dist": o[..., 7],
+        "normal_view": o[..., 8:11],
+    }

@@ -63,18 +63,16 @@ def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
                      tile_group: int, impl: str = "xla"
                      ) -> Dict[str, jnp.ndarray]:
     """impl: "xla" = differentiable XLA compositing loop (hand-managed
-    reverse-scan VJP — the training path); "fused" = the Pallas v4 fused
-    forward kernel with gradients via the XLA VJP (fast value pass —
-    inference, eval, and value-only bench); "fused_nograd" = v4 forward
-    only (no custom_vjp wrapper)."""
+    reverse-scan VJP); "fused" = the Pallas v4 fused forward + fused
+    analytic Pallas backward (the fast path for BOTH inference and
+    training); "fused_nograd" = v4 forward only (no VJP machinery)."""
     def one_view(g, cv, cvp, tf, bgc):
         if impl == "fused":
             from gaussiananything_tpu.ops.rasterize_pallas import (
-                rasterize_tiled_v4_vjp)
-            out = rasterize_tiled_v4_vjp(
+                rasterize_tiled_v4_train)
+            out = rasterize_tiled_v4_train(
                 g, cv, cvp, tf, bgc, out_size, out_size, tile=tile,
-                max_per_tile=max_per_tile, chunk=chunk,
-                tile_group=tile_group)
+                max_per_tile=max_per_tile, chunk=chunk)
         elif impl == "fused_nograd":
             from gaussiananything_tpu.ops.rasterize_pallas import (
                 rasterize_tiled_v4)

@@ -141,15 +141,16 @@ def test_v4_step_budget_degrades_gracefully():
 
 def test_v4_vjp_gradients_match_xla():
     from gaussiananything_tpu.ops.rasterize_pallas import (
-        rasterize_tiled_v4_vjp)
+        rasterize_tiled_v4_train)
     g, cam = setup_scene(n=128, img=32)
     bg = jnp.ones(3)
 
     def loss_fused(gg):
-        out = rasterize_tiled_v4_vjp(gg, cam["cam_view"],
-                                     cam["cam_view_proj"], cam["tanfov"],
-                                     bg, 32, 32, tile=16, max_per_tile=128,
-                                     chunk=64, group=2, tile_group=4)
+        out = rasterize_tiled_v4_train(gg, cam["cam_view"],
+                                       cam["cam_view_proj"], cam["tanfov"],
+                                       bg, 32, 32, tile=16, max_per_tile=128,
+                                       chunk=64, group=2,
+                                       steps_per_group=2.0)
         return jnp.sum(out["image"] ** 2) + jnp.sum(out["dist"])
 
     def loss_xla(gg):
