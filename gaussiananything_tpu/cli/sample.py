@@ -256,12 +256,14 @@ def main(argv=None):
             # turntable render
             sweep = cameras.uni_mesh_path(8)[:8]
             cam = cameras.pose_to_gs_camera(jnp.asarray(sweep))
+            from gaussiananything_tpu.render.renderer import default_impl
             out = render_multiview(
                 fin, cam["cam_view"][None], cam["cam_view_proj"][None],
                 jnp.broadcast_to(cam["tanfov"][None], (1, 8)),
                 jnp.ones((1, 8, 3)), cfg.render.output_size,
                 tile=16, max_per_tile=cfg.render.max_per_tile,
-                chunk=cfg.render.chunk, tile_group=16)
+                chunk=cfg.render.chunk, tile_group=16,
+                impl=default_impl(grad=False))
             t0 = _mark("8-view turntable render", t0, out["image"])
             from PIL import Image
             strip = np.concatenate(

@@ -20,6 +20,15 @@ import jax.numpy as jnp
 from gaussiananything_tpu.ops import rasterize as rz
 
 
+def default_impl(grad: bool = True) -> str:
+    """Production impl pick: the fused Pallas kernels on TPU (forward-only
+    variant when no gradients are needed), the XLA path elsewhere (the
+    Pallas interpreter on CPU is orders slower than compiled XLA)."""
+    if jax.default_backend() == "tpu":
+        return "fused" if grad else "fused_nograd"
+    return "xla"
+
+
 class GaussianRenderer2DGS:
     """Stateless config holder mirroring the reference class."""
 

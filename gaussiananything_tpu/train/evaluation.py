@@ -132,12 +132,13 @@ def export_turntable(path: str, gaussians: jnp.ndarray, n_frames: int = 24,
     for i in range(0, n_frames, group):
         sl = slice(i, min(i + group, n_frames))
         V = sl.stop - sl.start
+        from gaussiananything_tpu.render.renderer import default_impl
         out = render_multiview(
             gaussians[None], cam["cam_view"][None, sl],
             cam["cam_view_proj"][None, sl],
             jnp.broadcast_to(cam["tanfov"][None, sl], (1, V)),
             jnp.ones((1, V, 3)), res, tile=16, max_per_tile=1024,
-            chunk=256, tile_group=16)
+            chunk=256, tile_group=16, impl=default_impl(grad=False))
         for v in np.asarray(out["image"][0]):
             frames.append((np.clip(np.moveaxis(v, 0, -1), 0, 1)
                            * 255).astype(np.uint8))

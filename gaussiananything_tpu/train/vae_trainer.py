@@ -68,13 +68,17 @@ class VAELossConfig:
 
 
 def render_lods(lods, cam_view, cam_view_proj, tanfov, bg, resolutions,
-                max_per_tile=1024, remat: bool = True):
+                max_per_tile=1024, remat: bool = True, impl=None):
     """Render each LoD at its ladder resolution. Returns list of dicts.
 
     remat: wrap each render in `jax.checkpoint` so the backward recomputes
     the compositing instead of storing the per-chunk intermediates — the
     renders otherwise dominate training HBM (21 GB at vae-small/128²).
     """
+    from gaussiananything_tpu.render.renderer import default_impl
+    if impl is None:
+        impl = default_impl(grad=True)
+    chunk = 128 if impl.startswith("fused") else 256
     B, V = cam_view.shape[:2]
     tanfov = jnp.broadcast_to(jnp.asarray(tanfov, jnp.float32), (B, V))
     bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (B, V, 3))
@@ -83,8 +87,8 @@ def render_lods(lods, cam_view, cam_view_proj, tanfov, bg, resolutions,
         def _render(gg, res=res):
             return render_multiview(
                 gg, cam_view, cam_view_proj, tanfov, bg, res,
-                tile=16, max_per_tile=max_per_tile, chunk=256,
-                tile_group=max(1, (res // 16) ** 2 // 16))
+                tile=16, max_per_tile=max_per_tile, chunk=chunk,
+                tile_group=max(1, (res // 16) ** 2 // 16), impl=impl)
 
         outs.append(jax.checkpoint(_render)(g) if remat else _render(g))
     return outs
