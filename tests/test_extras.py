@@ -301,3 +301,32 @@ class TestEvalGridNonIntegerRatio:
         assert np.isfinite(m["eval/psnr"])
         import os
         assert os.path.exists(tmp_path / "eval_0000002.png")
+
+
+class TestAdaptiveODE:
+    """VERDICT round-3 weak-7: `sample_ode_adaptive` (the torchdiffeq
+    dopri5 parity path, `transport/transport.py:384-431`) was untested."""
+
+    def test_dopri5_matches_dense_euler_on_toy_field(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussiananything_tpu.diffusion import (sample_ode,
+                                                    sample_ode_adaptive)
+
+        # linear field with known solution x(1) = x0·e^{A}
+        A = jnp.asarray([[0.3, -0.2], [0.1, 0.25]], jnp.float32)
+
+        def velocity(x, t):
+            return x @ A.T
+
+        x0 = jnp.asarray(np.random.RandomState(0).randn(4, 2), jnp.float32)
+        x_ad = sample_ode_adaptive(velocity, x0)
+        x_eu = sample_ode(velocity, x0, num_steps=1000, method="euler")
+        import scipy.linalg as sla
+        expm = jnp.asarray(sla.expm(np.asarray(A)), jnp.float32)
+        x_true = x0 @ expm.T
+        np.testing.assert_allclose(np.asarray(x_ad), np.asarray(x_true),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_ad), np.asarray(x_eu),
+                                   rtol=2e-3, atol=1e-4)

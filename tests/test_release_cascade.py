@@ -115,3 +115,22 @@ def test_cfg_actually_guides(cascade):
     a = sampler(dit1_params, cond_params, img, rng, cfg_scale=1.0)
     b = sampler(dit1_params, cond_params, img, rng, cfg_scale=6.0)
     assert float(jnp.abs(a - b).max()) > 1e-5
+
+
+def test_dopri5_sampler_wiring(cascade):
+    """cfg.sampler='dopri5' (the reference's default adaptive solver,
+    `transport/transport.py:384-431`, atol 1e-6 / rtol 1e-3) through the
+    cascade sampler — result matches a fine fixed-step Heun solve."""
+    (cond, cond_params, dit1, dit1_params, _d2, _d2p,
+     _v, _vp, img) = cascade
+    rng = jax.random.PRNGKey(11)
+    fm_ad = FMConfig(stage=1, cfg_scale=2.0, sampler="dopri5")
+    s_ad = make_sampler(dit1, cond, fm_ad, latent_shape=(K, 3))
+    x_ad = s_ad(dit1_params, cond_params, img, rng)
+
+    fm_h = FMConfig(stage=1, cfg_scale=2.0, num_steps=200, sampler="heun")
+    s_h = make_sampler(dit1, cond, fm_h, latent_shape=(K, 3))
+    x_h = s_h(dit1_params, cond_params, img, rng)
+    assert bool(jnp.isfinite(x_ad).all())
+    np.testing.assert_allclose(np.asarray(x_ad), np.asarray(x_h),
+                               rtol=5e-3, atol=2e-3)
