@@ -6,8 +6,10 @@ the encoder over the dataset and writes one npz per instance with
   latent_normalized (K, z)  — KL sample
   query_pcd_xyz    (K, 3)   — FPS anchors (world units)
   cond             (3, H, W) — a conditioning view render
-mirroring the reference latent.npz schema
-(`datasets/g_buffer_objaverse.py:3661-3687`).
+  caption          ()        — instance caption (t23d training text source;
+                               '' when the dataset ships none)
+mirroring the reference latent.npz schema + caption sidecars
+(`datasets/g_buffer_objaverse.py:3661-3687,3771`).
 """
 from __future__ import annotations
 
@@ -70,11 +72,14 @@ def main(argv=None):
     for i in range(args.num):
         if args.data_dir:
             b = ds.batch(1)
+            caption = b.get("caption", [""])[0]
         else:
+            from gaussiananything_tpu.data.synthetic import describe_object
             b = make_batch(seed=1000 + i, batch=1,
                            n_views_in=cfg.data.n_views_in, n_views_sup=1,
                            res=cfg.data.resolution, n_pts=cfg.data.n_points,
                            n_splats=512)
+            caption = describe_object((1000 + i) * 131)
         z, anchors = encode(b["images_in"], b["pcd"],
                             jax.random.fold_in(rng, i))
         cond = jax.image.resize(
@@ -83,7 +88,7 @@ def main(argv=None):
         np.savez(os.path.join(args.out, f"{i:05d}.npz"),
                  latent_normalized=np.asarray(z[0]),
                  query_pcd_xyz=np.asarray(anchors[0]),
-                 cond=np.asarray(cond))
+                 cond=np.asarray(cond), caption=np.str_(caption))
     print(f"wrote {args.num} latents to {args.out}")
 
 

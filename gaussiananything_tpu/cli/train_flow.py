@@ -25,6 +25,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--latent-dir", default=None,
                    help="npz latents from extract_latents")
+    p.add_argument("--cond", default=None, choices=["image", "text"],
+                   help="override cfg.dit.cond — 'text' trains the t23d "
+                        "towers from the latent npzs' caption field "
+                        "(`datasets/g_buffer_objaverse.py:3771` role)")
+    p.add_argument("--bpe", action="store_true",
+                   help="CLIP BPE token ids for text conditioning "
+                        "(tokenizer parity with released t23d towers); "
+                        "byte ids otherwise")
     p.add_argument("--platform", default=None)
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per step "
@@ -68,6 +76,8 @@ def main(argv=None):
     cfg = (RunConfig.from_json(open(args.config).read()) if args.config
            else preset(args.preset))
     cfg.dit.stage = args.stage
+    if args.cond:
+        cfg.dit.cond = args.cond
     if args.steps:
         cfg.optim.total_steps = args.steps
     if args.batch:
@@ -102,6 +112,22 @@ def main(argv=None):
     in_ch = 3 if args.stage == 1 else cfg.vae.z_channels
     K = cfg.vae.latent_num
 
+    text_cond = cfg.dit.cond == "text"
+    if text_cond:
+        if args.bpe:
+            from gaussiananything_tpu.models.openclip_text import \
+                ClipBPETokenizer
+            _tok = ClipBPETokenizer()
+
+            def tokenize(caps):
+                return jnp.asarray(_tok(caps))
+        else:
+            from gaussiananything_tpu.models.conditioner import \
+                tokenize_bytes
+
+            def tokenize(caps):
+                return jnp.asarray(tokenize_bytes(caps))
+
     # ---------------------------------------------------------------- data
     if args.latent_dir:
         files = sorted(glob.glob(os.path.join(args.latent_dir, "*.npz")))
@@ -113,8 +139,12 @@ def main(argv=None):
                 idx = rng_np.integers(0, len(arrs), cfg.optim.batch_size)
                 lat = np.stack([arrs[i]["latent_normalized"] for i in idx])
                 xyz = np.stack([arrs[i]["query_pcd_xyz"] for i in idx])
-                condb = np.stack([arrs[i]["cond"] for i in idx])
-                b = {"cond": jnp.asarray(condb)}
+                if text_cond:
+                    caps = [str(arrs[i].get("caption", "")) for i in idx]
+                    b = {"cond": tokenize(caps)}
+                else:
+                    condb = np.stack([arrs[i]["cond"] for i in idx])
+                    b = {"cond": jnp.asarray(condb)}
                 if args.stage == 1:
                     b["latent"] = jnp.asarray(xyz) / XYZ_SCALE
                 else:
@@ -129,20 +159,28 @@ def main(argv=None):
         from gaussiananything_tpu.ops.fps import sample_farthest_points
         from gaussiananything_tpu.render import cameras
 
+        from gaussiananything_tpu.data.synthetic import describe_object
+
         def data_iter(rng_np):
             s = 0
             while True:
-                lats, conds = [], []
+                lats, conds, caps = [], [], []
                 for b in range(cfg.optim.batch_size):
-                    g = make_object(int(rng_np.integers(1 << 30)), n=512)
+                    seed = int(rng_np.integers(1 << 30))
+                    g = make_object(seed, n=512)
                     anchors, _ = sample_farthest_points(g[None, :, :3], K)
-                    pose = cameras.generate_input_camera(
-                        1.8, [(rng_np.uniform(-30, 60),
-                               rng_np.uniform(0, 360))])
-                    v = render_scene_views(g, pose, cfg.dit.cond_img_size)
                     lats.append(anchors[0])
-                    conds.append(v["image"][0])
-                b = {"cond": jnp.stack(conds),
+                    if text_cond:
+                        caps.append(describe_object(seed))
+                    else:
+                        pose = cameras.generate_input_camera(
+                            1.8, [(rng_np.uniform(-30, 60),
+                                   rng_np.uniform(0, 360))])
+                        v = render_scene_views(g, pose,
+                                               cfg.dit.cond_img_size)
+                        conds.append(v["image"][0])
+                b = {"cond": tokenize(caps) if text_cond
+                     else jnp.stack(conds),
                      "latent": jnp.stack(lats) / XYZ_SCALE}
                 if args.stage == 2:
                     b["xyz"] = b["latent"] * XYZ_SCALE

@@ -78,8 +78,20 @@ class MultiViewDataset:
         self.resolution = resolution
         self.rng = np.random.default_rng(seed + shard[0])
 
+    @staticmethod
+    def caption_for(npz_path: str) -> str:
+        """Caption sidecar written by `objaverse_raw.convert_raw_tree`
+        (`<name>.caption.txt` next to `<name>.npz`); '' if absent."""
+        cap = npz_path[:-4] + ".caption.txt"
+        if os.path.exists(cap):
+            with open(cap, encoding="utf-8") as f:
+                return f.read().strip()
+        return ""
+
     def _sample(self) -> Dict[str, np.ndarray]:
-        inst = load_instance(self.files[self.rng.integers(len(self.files))])
+        path = self.files[self.rng.integers(len(self.files))]
+        inst = load_instance(path)
+        inst["caption"] = self.caption_for(path)
         V = inst["rgb"].shape[0]
         k = self.n_in + self.n_sup
         views = self.rng.choice(V, k, replace=V < k)
@@ -114,11 +126,12 @@ class MultiViewDataset:
             "pose_in": inst["pose"][vin],
             "images_sup": rgb[vsup], "alpha_sup": alpha[vsup],
             "depth_sup": depth[vsup], "pose_sup": inst["pose"][vsup],
-            "pcd": pcd,
+            "pcd": pcd, "caption": inst["caption"],
         }
 
     def batch(self, batch_size: int) -> Dict[str, jnp.ndarray]:
         samples = [self._sample() for _ in range(batch_size)]
+        captions = [s.pop("caption") for s in samples]
         stacked = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         imgs_in = assemble_encoder_input(
             jnp.asarray(stacked["rgb_in"]), jnp.asarray(stacked["normal_in"]),
@@ -135,6 +148,7 @@ class MultiViewDataset:
             "images_sup": jnp.asarray(stacked["images_sup"]),
             "alpha_sup": jnp.asarray(stacked["alpha_sup"]),
             "depth_sup": jnp.asarray(stacked["depth_sup"]),
+            "caption": captions,
         }
 
     def iterator(self, batch_size: int, prefetch: int = 2

@@ -18,6 +18,16 @@ from gaussiananything_tpu.render import cameras
 from gaussiananything_tpu.render.renderer import render_multiview
 
 
+def describe_object(seed: int, kind: str | None = None) -> str:
+    """Deterministic caption for `make_object(seed)` — re-derives the same
+    first rng draw, so the text matches the geometry (the synthetic stand-in
+    for the reference's Cap3D captions, `datasets/g_buffer_objaverse.py:3771`)."""
+    rng = np.random.default_rng(seed)
+    kind = kind or rng.choice(["sphere", "ellipsoid", "torus"])
+    hue = ["red", "green", "blue", "yellow", "purple", "cyan"][seed % 6]
+    return f"a {hue} {kind}"
+
+
 def make_object(seed: int, n: int = 1024, kind: str | None = None
                 ) -> np.ndarray:
     """Random surfel object (N, 13): sphere / ellipsoid / torus shell with

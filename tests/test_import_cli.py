@@ -44,3 +44,59 @@ def test_unwraps_nested_and_ddp(tmp_path):
     assert "final_layer.linear.weight" in sd
     assert not any(k.startswith("module.") for k in sd)
     assert "step" not in sd
+
+
+def test_t23d_training_roundtrip(tmp_path):
+    """t23d TRAINING data path (VERDICT round-3 item 6): captions flow
+    from extraction (`extract_latents` npz `caption` field, the
+    `datasets/g_buffer_objaverse.py:3771` role) through `train_flow
+    --cond text` (byte tokenizer + ucg dropout) to a saved checkpoint,
+    which then drives text-conditioned sampling."""
+    import numpy as np
+    from gaussiananything_tpu.cli import extract_latents, train_flow
+
+    lat = str(tmp_path / "lat")
+    log = str(tmp_path / "log")
+    extract_latents.main(["--out", lat, "--num", "3",
+                          "--preset", "demo-e2e"])
+    z = np.load(str(tmp_path / "lat" / "00000.npz"))
+    assert str(z["caption"])            # non-empty synthetic caption
+
+    train_flow.main(["--preset", "demo-e2e", "--stage", "1", "--steps",
+                     "2", "--batch", "2", "--latent-dir", lat, "--cond",
+                     "text", "--logdir", log])
+    import os
+    assert os.path.isdir(os.path.join(log, "ckpt"))
+
+    # text-conditioned sampling with the trained tower
+    import jax
+    import jax.numpy as jnp
+    from gaussiananything_tpu.config import preset
+    from gaussiananything_tpu.models.conditioner import (TextConditioner,
+                                                         tokenize_bytes)
+    from gaussiananything_tpu.models.dit import stage1_dit
+    from gaussiananything_tpu.train.fm_trainer import FMConfig, make_sampler
+    from gaussiananything_tpu.train.state import restore_inference_params
+
+    cfg = preset("demo-e2e")
+    dit = stage1_dit(size=cfg.dit.size, cond_dim=cfg.dit.cond_width,
+                     vector_dim=cfg.dit.cond_width)
+    cond = TextConditioner(width=cfg.dit.cond_width,
+                           depth=cfg.dit.cond_depth,
+                           heads=cfg.dit.cond_heads)
+    ids = jnp.asarray(tokenize_bytes(["a red sphere"]))
+    rng = jax.random.PRNGKey(0)
+    cond_params = cond.init(rng, ids)
+    c = cond.apply(cond_params, ids)
+    K = cfg.vae.latent_num
+    dit_params = dit.init(rng, jnp.zeros((1, K, 3)), jnp.zeros((1,)),
+                          c.crossattn, c.vector)
+    dit_params = restore_inference_params(os.path.join(log, "ckpt"),
+                                          dit_params)
+    cond_params = restore_inference_params(os.path.join(log, "ckpt_cond"),
+                                           cond_params)
+    fm = FMConfig(stage=1, cfg_scale=2.0, num_steps=4, sampler="euler")
+    sampler = make_sampler(dit, cond, fm, latent_shape=(K, 3))
+    xyz = sampler(dit_params, cond_params, ids, rng)
+    assert xyz.shape == (1, K, 3)
+    assert bool(jnp.isfinite(xyz).all())
