@@ -66,17 +66,30 @@ class GaussianRenderer2DGS:
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "tile", "max_per_tile", "chunk",
-                     "tile_group", "impl"))
+                     "tile_group", "impl", "mesh"))
 def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
                      out_size: int, tile: int, max_per_tile: int, chunk: int,
-                     tile_group: int, impl: str = "xla"
+                     tile_group: int, impl: str = "xla", mesh=None
                      ) -> Dict[str, jnp.ndarray]:
     """impl: "xla" = differentiable XLA compositing loop (hand-managed
     reverse-scan VJP); "fused" = the Pallas v4 fused forward + fused
     analytic Pallas backward (the fast path for BOTH inference and
-    training); "fused_nograd" = v4 forward only (no VJP machinery)."""
+    training); "fused_nograd" = v4 forward only (no VJP machinery).
+
+    mesh: a `jax.sharding.Mesh` with a `tile` axis → each view's rows are
+    band-sharded over that axis via `render.sharded.render_view_sharded`
+    (shard_map; splat cotangents psum over `tile` in the backward). The
+    surrounding computation stays in GSPMD global semantics, so losses
+    computed on the returned maps are value-identical to the unsharded
+    path — this is the multi-chip rays/s scaling plan of SURVEY.md §5.7.
+    """
     def one_view(g, cv, cvp, tf, bgc):
-        if impl == "fused":
+        if mesh is not None:
+            from gaussiananything_tpu.render import sharded
+            out = sharded.render_view_sharded(
+                mesh, g, cv, cvp, tf, bgc, out_size, tile=tile,
+                max_per_tile=max_per_tile, chunk=chunk)
+        elif impl == "fused":
             from gaussiananything_tpu.ops.rasterize_pallas import (
                 rasterize_tiled_v4_train)
             out = rasterize_tiled_v4_train(

@@ -68,7 +68,8 @@ class VAELossConfig:
 
 
 def render_lods(lods, cam_view, cam_view_proj, tanfov, bg, resolutions,
-                max_per_tile=1024, remat: bool = True, impl=None):
+                max_per_tile=1024, remat: bool = True, impl=None,
+                mesh=None):
     """Render each LoD at its ladder resolution. Returns list of dicts.
 
     remat: wrap each render in `jax.checkpoint` so the backward recomputes
@@ -88,7 +89,8 @@ def render_lods(lods, cam_view, cam_view_proj, tanfov, bg, resolutions,
             return render_multiview(
                 gg, cam_view, cam_view_proj, tanfov, bg, res,
                 tile=16, max_per_tile=max_per_tile, chunk=chunk,
-                tile_group=max(1, (res // 16) ** 2 // 16), impl=impl)
+                tile_group=max(1, (res // 16) ** 2 // 16), impl=impl,
+                mesh=mesh)
 
         outs.append(jax.checkpoint(_render)(g) if remat else _render(g))
     return outs
@@ -104,7 +106,8 @@ def _resize_to(x: jnp.ndarray, res: int) -> jnp.ndarray:
 
 def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
                 step: jnp.ndarray, cfg: VAELossConfig,
-                disc_params=None, disc_model=None, lpips_params=None):
+                disc_params=None, disc_model=None, lpips_params=None,
+                mesh=None):
     """batch keys:
       images_in   (B, V_in, 15, H, W)  — encoder input views
       pcd         (B, P, 3)            — FPS source point cloud
@@ -173,7 +176,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     def render_one(i):
         return render_lods(lods[i:i + 1], batch["cam_view"],
                            batch["cam_view_proj"], batch["tanfov"], bg,
-                           cfg.lod_resolutions[i:i + 1])[0]
+                           cfg.lod_resolutions[i:i + 1], mesh=mesh)[0]
 
     if cfg.rand_coarse_lod and n_lod > 2:
         # one random coarse LoD (scalar loss via lax.switch — branch output
@@ -192,7 +195,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
     else:
         renders = render_lods(lods, batch["cam_view"],
                               batch["cam_view_proj"], batch["tanfov"], bg,
-                              cfg.lod_resolutions[:n_lod])
+                              cfg.lod_resolutions[:n_lod], mesh=mesh)
         for i, (rend, res) in enumerate(zip(renders, cfg.lod_resolutions)):
             total += lod_loss(rend, res, i)
 
@@ -259,7 +262,7 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
             def heads(g):
                 rend = render_lods([g], batch["cam_view"],
                                    batch["cam_view_proj"], batch["tanfov"],
-                                   bg, [res_f])[0]
+                                   bg, [res_f], mesh=mesh)[0]
                 img = rend["image"]
                 rec = cfg.l1_weight * L.l1(img, gt_f)
                 fk = img.reshape((B * V,) + img.shape[2:])
@@ -284,11 +287,13 @@ def vae_loss_fn(params, model, batch: Dict[str, jnp.ndarray], rng,
 
 
 def make_train_step(model, cfg: VAELossConfig, tx_cfg=None, donate=False,
-                    disc_model=None, lpips_params=None):
+                    disc_model=None, lpips_params=None, mesh=None):
     """Returns a jittable train_step(state, batch, rng) → (state, logs).
 
     `lpips_params`: optional converted VGG-LPIPS tree
     (`utils/param_io.convert_lpips_vgg`) — frozen, closed over the jit.
+    `mesh`: optional data×tile Mesh — renders row-shard over its `tile`
+    axis (see `render_multiview`); loss values are unchanged.
     """
     from gaussiananything_tpu.train.state import TrainStateConfig
     tx_cfg = tx_cfg or TrainStateConfig()
@@ -302,7 +307,8 @@ def make_train_step(model, cfg: VAELossConfig, tx_cfg=None, donate=False,
                    disc_params=None):
         def loss(p):
             return vae_loss_fn(p, model, batch, rng, state.step, cfg,
-                               disc_params, disc_model, lpips_params)
+                               disc_params, disc_model, lpips_params,
+                               mesh=mesh)
 
         (_, (logs, _, _)), grads = jax.value_and_grad(
             loss, has_aux=True)(state.params)
@@ -351,7 +357,7 @@ def make_disc_step(model, disc_model, cfg: VAELossConfig, tx_cfg=None,
 
 def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
                           tx_cfg=None, disc_model=None, lpips_params=None,
-                          donate=False):
+                          donate=False, mesh=None):
     """TRUE gradient accumulation (the reference's microbatch loop,
     `nsr/train_util.py:95`): grads averaged over n_micro sequential
     micro-slices via `lax.scan`, ONE optimiser step. The batch's leading
@@ -369,7 +375,8 @@ def make_accum_train_step(model, cfg: VAELossConfig, n_micro: int,
         def micro(b, key):
             def loss(p):
                 return vae_loss_fn(p, model, b, key, state.step, cfg,
-                                   disc_params, disc_model, lpips_params)
+                                   disc_params, disc_model, lpips_params,
+                                   mesh=mesh)
 
             (_, (logs, _, _)), grads = jax.value_and_grad(
                 loss, has_aux=True)(state.params)
