@@ -36,6 +36,15 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--platform", default=None, help="cpu to force CPU")
+    p.add_argument("--data-dir", default=None,
+                   help="packed gbuffer npz dataset (data/gbuffer.py); "
+                        "per-step procedural scenes otherwise")
+    p.add_argument("--holdout", type=int, default=0,
+                   help="with --data-dir: reserve the LAST N instances as "
+                        "a FIXED held-out eval split (never trained on); "
+                        "--eval-every then reports PSNR/SSIM on the same "
+                        "held-out batch every time (eval_novelview_loop "
+                        "cadence, nsr/train_nv_util.py:2693)")
     args = p.parse_args(argv)
 
     import jax
@@ -72,18 +81,50 @@ def main(argv=None):
 
     model = PointVAE.from_config(cfg.vae)
 
-    def data_iter(seed0: int):
-        s = seed0
-        while True:
-            b = make_batch(seed=s, batch=cfg.optim.batch_size,
-                           n_views_in=cfg.data.n_views_in,
-                           n_views_sup=cfg.data.n_views_sup,
-                           res=cfg.data.resolution,
-                           n_pts=cfg.data.n_points,
-                           n_splats=max(512, cfg.data.n_points))
-            b.pop("gt_gaussians", None)
-            yield b
-            s += 1
+    eval_batch_fixed = None
+    if args.data_dir:
+        import glob as _glob
+
+        from gaussiananything_tpu.data.gbuffer import MultiViewDataset
+        files = sorted(_glob.glob(os.path.join(args.data_dir, "*.npz")))
+        assert len(files) > args.holdout, (len(files), args.holdout)
+        split = len(files) - args.holdout
+        train_ds = MultiViewDataset(
+            args.data_dir, files=files[:split],
+            n_views_in=cfg.data.n_views_in, n_views_sup=cfg.data.n_views_sup,
+            n_points=cfg.data.n_points, resolution=cfg.data.resolution,
+            seed=cfg.seed)
+        print(f"dataset: {split} train / {args.holdout} held-out instances")
+
+        def data_iter(seed0: int):
+            for b in train_ds.iterator(cfg.optim.batch_size):
+                b.pop("caption", None)
+                yield b
+
+        if args.holdout:
+            # the SAME held-out batch every eval → a clean PSNR/SSIM
+            # trajectory (instances never seen by the optimiser)
+            eval_ds = MultiViewDataset(
+                args.data_dir, files=files[split:],
+                n_views_in=cfg.data.n_views_in,
+                n_views_sup=cfg.data.n_views_sup,
+                n_points=cfg.data.n_points, resolution=cfg.data.resolution,
+                seed=12345)
+            eval_batch_fixed = eval_ds.batch(min(args.holdout, 4))
+            eval_batch_fixed.pop("caption", None)
+    else:
+        def data_iter(seed0: int):
+            s = seed0
+            while True:
+                b = make_batch(seed=s, batch=cfg.optim.batch_size,
+                               n_views_in=cfg.data.n_views_in,
+                               n_views_sup=cfg.data.n_views_sup,
+                               res=cfg.data.resolution,
+                               n_pts=cfg.data.n_points,
+                               n_splats=max(512, cfg.data.n_points))
+                b.pop("gt_gaussians", None)
+                yield b
+                s += 1
 
     rng = jax.random.PRNGKey(cfg.seed)
     it = data_iter(cfg.seed)
@@ -170,7 +211,8 @@ def main(argv=None):
             logger.logkv_mean(k, float(v))
         if (i + 1) % args.eval_every == 0:
             from gaussiananything_tpu.train.evaluation import eval_novelview
-            eval_batch = next(it)
+            eval_batch = (dict(eval_batch_fixed)
+                          if eval_batch_fixed is not None else next(it))
             eval_batch.pop("tanfov")
             eval_batch["tanfov"] = tanfov
             m = eval_novelview(model, state.ema_params, eval_batch,
@@ -179,6 +221,7 @@ def main(argv=None):
                                step=i + 1)
             for k, v in m.items():
                 logger.logkv(k, v)
+            logger.dumpkvs(i + 1)      # persist eval rows at eval cadence
         if (i + 1) % 20 == 0 or i == 0:
             logger.logkv("steps_per_s",
                          (i + 1 - step0) / max(time.time() - t0, 1e-9))

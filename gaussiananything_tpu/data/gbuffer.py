@@ -68,8 +68,12 @@ class MultiViewDataset:
     def __init__(self, data_dir: str, n_views_in: int = 4,
                  n_views_sup: int = 4, n_points: int = 4096,
                  resolution: Optional[int] = None,
-                 shard: Tuple[int, int] = (0, 1), seed: int = 0):
-        files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+                 shard: Tuple[int, int] = (0, 1), seed: int = 0,
+                 files: Optional[List[str]] = None):
+        """`files`: explicit instance list (overrides the directory glob) —
+        lets callers carve train/held-out splits from one directory."""
+        if files is None:
+            files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
         self.files = files[shard[0]::shard[1]]
         assert self.files, f"no instances under {data_dir} for shard {shard}"
         self.n_in = n_views_in

@@ -79,3 +79,39 @@ class TestConfig:
                      "stage1", "stage2", "t23d", "demo-e2e"]:
             c = preset(name)
             assert c.name == name
+
+
+def test_train_vae_data_dir_holdout(tmp_path):
+    """`cli.train_vae --data-dir/--holdout`: trains on a FIXED packed
+    dataset with a held-out eval split — the quality-convergence harness
+    (reference cadence: eval_novelview_loop, nsr/train_nv_util.py:2693)."""
+    from gaussiananything_tpu.cli import train_vae
+    from gaussiananything_tpu.config import (DataConfig, OptimConfig,
+                                             RenderConfig, RunConfig,
+                                             VAEModelConfig)
+    from gaussiananything_tpu.data.gbuffer import export_synthetic_dataset
+
+    ds = str(tmp_path / "ds")
+    export_synthetic_dataset(ds, n_instances=3, n_views=4, res=32,
+                             n_splats=128)
+    cfg = RunConfig(
+        name="tiny", logdir=str(tmp_path / "logs"),
+        vae=VAEModelConfig(latent_num=8, z_channels=4, encoder_width=32,
+                           decoder_width=32, decoder_depth=1,
+                           decoder_heads=2, up_factors=(4,), up_depths=(1,)),
+        render=RenderConfig(output_size=32, lod_resolutions=(16, 32)),
+        data=DataConfig(resolution=32, n_views_in=2, n_views_sup=2,
+                        n_points=64),
+        optim=OptimConfig(lr=1e-4, warmup_steps=1, batch_size=2,
+                          total_steps=2))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    logdir = str(tmp_path / "run")
+    train_vae.main(["--config", str(cfg_path), "--data-dir", ds,
+                    "--holdout", "1", "--eval-every", "2", "--steps", "2",
+                    "--logdir", logdir])
+    import csv
+    import glob as g
+    rows = list(csv.DictReader(open(f"{logdir}/progress.csv")))
+    assert any("eval/psnr" in r and r["eval/psnr"] for r in rows), rows
+    assert g.glob(f"{logdir}/eval/eval_*.png")
