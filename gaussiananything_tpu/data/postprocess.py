@@ -63,3 +63,42 @@ def assemble_encoder_input(rgb: jnp.ndarray, normal: jnp.ndarray,
     xyz = backproject_depth(depth, c2w, tanfov)
     xyz = xyz * (alpha > 0.5)
     return jnp.concatenate([rgb_n, normal, plucker, xyz], axis=2)
+
+
+def canonicalize_poses(pose25: jnp.ndarray, canonical_idx: int = 0
+                       ) -> jnp.ndarray:
+    """Rebase a view chunk's c2w poses so view `canonical_idx` sits at the
+    canonical position (identity rotation, camera on -z at its own radius).
+
+    Parity with `normalize_camera(for_encoder=False)`
+    (`datasets/g_buffer_objaverse.py:355-399`, the frame_0_as_canonical
+    training-time pose canonicalization; transform = F @ inv(c2w[idx]) with
+    F = eye(4) except F[2,3] = -|t_idx|, applied to every pose in the
+    chunk). pose25 (V, 25): 16 c2w + 9 K; K rows pass through.
+    """
+    V = pose25.shape[0]
+    c2w = pose25[:, :16].reshape(V, 4, 4)
+    radius = jnp.linalg.norm(c2w[canonical_idx, :3, 3])
+    fixed = jnp.eye(4).at[2, 3].set(-radius)
+    transform = fixed @ jnp.linalg.inv(c2w[canonical_idx])
+    new_c2w = jnp.einsum("ij,vjk->vik", transform, c2w,
+                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([new_c2w.reshape(V, 16), pose25[:, 16:]], axis=-1)
+
+
+def canonicalize_pts(pose25: jnp.ndarray, pcd: jnp.ndarray,
+                     canonical_idx: int = 0) -> jnp.ndarray:
+    """Move a world-space point cloud into the canonical frame of view
+    `canonical_idx` — the SAME rigid transform `canonicalize_poses`
+    applies to the cameras, so rebased poses keep seeing the same scene.
+
+    Parity with `canonicalize_pts` (`datasets/g_buffer_objaverse.py:291-321`:
+    new_pcd = (F @ inv(c2w[idx]) @ [pcd; 1])[:3]). pcd (..., N, 3).
+    """
+    c2w = pose25[canonical_idx, :16].reshape(4, 4)
+    radius = jnp.linalg.norm(c2w[:3, 3])
+    fixed = jnp.eye(4).at[2, 3].set(-radius)
+    transform = fixed @ jnp.linalg.inv(c2w)
+    return (jnp.einsum("ij,...nj->...ni", transform[:3, :3], pcd,
+                       precision=jax.lax.Precision.HIGHEST)
+            + transform[:3, 3])

@@ -674,8 +674,9 @@ def _chunk_backward(state: PixelState, px: jnp.ndarray, py: jnp.ndarray,
 
 def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
                      max_per_tile: int, row0=0,
-                     big_capacity: int = 0, packed_key=None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                     big_capacity: int = 0, packed_key=None,
+                     rank_pairs: bool = False
+                     ) -> Tuple[jnp.ndarray, ...]:
     """Bin splats into a tile-sorted, depth-ordered flat pair array.
 
     Two-bucket emission (the sort over (tile, splat) pairs is the frame-
@@ -712,6 +713,14 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     `max_per_tile` trailing zeros so a (starts[t] + c) dynamic slice of
     any chunk ≤ max_per_tile never clamps), `starts[t]` the segment
     offset, `counts[t] = min(segment length, max_per_tile)`.
+
+    `rank_pairs=True` (requires the packed-key regime) returns
+    (pairs_rank, starts, counts, depth_order) where `pairs` holds depth
+    RANKS instead of splat ids: rank → splat is the returned permutation,
+    so callers index a depth-ordered packed table directly. This makes
+    the pair sort KEY-ONLY — the rank rides in the key's low bits and
+    there is no payload to move through the sort network (the dominant
+    binning cost is the sort, and its cost scales with bytes moved).
     """
     tiles_x = img_w // tile
     tiles_y = img_h // tile
@@ -829,7 +838,20 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
     # both produce identical bins).
     if packed_key is None:
         packed_key = n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17)
-    if packed_key:
+    if rank_pairs:
+        assert n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17), (
+            "rank_pairs requires the packed-key regime")
+        # KEY-ONLY sort: the rank IS the payload (low 17 bits); splat ids
+        # are recovered for free because the caller indexes a packed table
+        # pre-permuted into depth order. (The earlier 'key-only' attempt
+        # that REGRESSED +1.7 ms recovered splat ids with a 463k-element
+        # take(order, rank) random gather — unnecessary once the table
+        # itself is depth-ordered.)
+        s_key = jax.lax.sort((flat_tile << 17) | flat_rank,
+                             is_stable=False)
+        s_tile = s_key >> 17
+        s_splat = s_key & ((1 << 17) - 1)          # depth ranks
+    elif packed_key:
         assert n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17)
         packed_key = (flat_tile << 17) | flat_rank
         # Single-key CO-sort carrying the splat payload. (A key-only sort
@@ -854,6 +876,8 @@ def build_tile_pairs(sp: SplatProj, img_h: int, img_w: int, tile: int,
 
     pairs = jnp.concatenate(
         [s_splat, jnp.zeros((max_per_tile,), s_splat.dtype)])
+    if rank_pairs:
+        return pairs, starts, counts, order
     return pairs, starts, counts
 
 

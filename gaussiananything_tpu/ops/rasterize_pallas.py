@@ -898,9 +898,9 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
                               full_h or img_h, img_w, tanfov)
     spx = jax.tree.map(jax.lax.stop_gradient, sp)
-    pairs, starts, counts = rz.build_tile_pairs(
+    pairs, starts, counts, dorder = rz.build_tile_pairs(
         spx, img_h, img_w, tile, max_per_tile, row0=row0,
-        big_capacity=big_capacity)
+        big_capacity=big_capacity, rank_pairs=True)
 
     tiles_x = img_w // tile
     tiles_y = img_h // tile
@@ -940,8 +940,12 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     step_chunk = jnp.where(live, step_chunk, n_chunks_max)
 
     # ---- gather the executed blocks into the dense step table --------------
+    # `pairs` holds depth RANKS; permute the packed table into depth order
+    # once (cheap N-column gather) so the step-table gather indexes it
+    # directly — no splat-id payload rode through the pair sort.
     N = gaussians.shape[0]
     packed = rz.pack_splat_render(sp)                       # (22, N)
+    packed = jnp.take(packed, dorder, axis=1)
     packed = jnp.concatenate(
         [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
     starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)

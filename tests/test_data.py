@@ -115,3 +115,47 @@ def test_train_vae_data_dir_holdout(tmp_path):
     rows = list(csv.DictReader(open(f"{logdir}/progress.csv")))
     assert any("eval/psnr" in r and r["eval/psnr"] for r in rows), rows
     assert g.glob(f"{logdir}/eval/eval_*.png")
+
+
+def test_canonicalize_poses_and_pts():
+    """Reference parity (datasets/g_buffer_objaverse.py:291,355): rebased
+    canonical view sits at [0,0,-r] with identity rotation; points follow
+    the same rigid transform (projection invariance)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussiananything_tpu.data.postprocess import (canonicalize_poses,
+                                                       canonicalize_pts)
+    from gaussiananything_tpu.render import cameras
+
+    poses = np.asarray(cameras.generate_input_camera(
+        1.8, [(10, 30), (25, 140), (-10, 260)]))
+    pcd = np.random.default_rng(0).normal(size=(64, 3)).astype(np.float32)
+
+    new25 = np.asarray(canonicalize_poses(jnp.asarray(poses)))
+    new_pcd = np.asarray(canonicalize_pts(jnp.asarray(poses),
+                                          jnp.asarray(pcd)))
+
+    # numpy transcription of the reference math
+    c2w = poses[:, :16].reshape(-1, 4, 4)
+    r = np.linalg.norm(c2w[0, :3, 3])
+    F = np.eye(4); F[2, 3] = -r
+    T = F @ np.linalg.inv(c2w[0])
+    want = (T @ c2w).reshape(-1, 16)
+    np.testing.assert_allclose(new25[:, :16], want, atol=1e-5)
+    np.testing.assert_allclose(new25[:, 16:], poses[:, 16:], atol=0)
+    hom = np.concatenate([pcd, np.ones((64, 1))], -1)
+    np.testing.assert_allclose(new_pcd, (T @ hom.T).T[:, :3], atol=1e-5)
+
+    # canonical view: identity rotation, camera at [0, 0, -r]
+    nc = new25[0, :16].reshape(4, 4)
+    np.testing.assert_allclose(nc[:3, :3], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(nc[:3, 3], [0, 0, -r], atol=1e-5)
+
+    # projection invariance: view-space points unchanged for every view
+    for v in range(3):
+        pv_old = (np.linalg.inv(c2w[v]) @ hom.T).T[:, :3]
+        hom_new = np.concatenate([new_pcd, np.ones((64, 1))], -1)
+        nv = new25[v, :16].reshape(4, 4)
+        pv_new = (np.linalg.inv(nv) @ hom_new.T).T[:, :3]
+        np.testing.assert_allclose(pv_new, pv_old, atol=1e-4)

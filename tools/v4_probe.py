@@ -45,6 +45,8 @@ def loop_time(step, x0, iters=3):
 
 
 def main():
+    import sys
+    phases = sys.argv[1] if len(sys.argv) > 1 else "ABCDS"
     g = make_object(0, n=73728, kind="sphere")
     cam = cameras.pose_to_gs_camera(
         jnp.asarray(cameras.generate_input_camera(1.8, [(20, 45)])[0]))
@@ -116,17 +118,18 @@ def main():
             rz.PACKED_F, cap, G, CHUNK)
         return acc + jnp.sum(tab[3]) * 1e-9
 
-    tA = loop_time(phase_A, jnp.float32(0.0))
-    tB = loop_time(phase_B, jnp.float32(0.0))
-    tC = loop_time(phase_C, jnp.float32(0.0))
-    tD = loop_time(phase_D, jnp.float32(0.0))
-    print(f"A full v4 frame          : {tA:7.3f} ms "
-          f"({RES*RES/tA*1e-3:.1f} M rays/s)")
-    print(f"B preprocess+pack        : {tB:7.3f} ms")
-    print(f"C  + binning(sort)       : {tC:7.3f} ms  (binning ≈ {tC-tB:.2f})")
-    print(f"D  + step-table gather   : {tD:7.3f} ms  (gather ≈ {tD-tC:.2f})")
-    print(f"   kernel+detile rest    : {tA-tD:7.3f} ms")
+    for name, fn in (("B preprocess+pack", phase_B),
+                     ("C +binning(sort)", phase_C),
+                     ("D +step-table gather", phase_D),
+                     ("A full v4 frame", phase_A)):
+        if name[0] not in phases:
+            continue
+        t = loop_time(fn, jnp.float32(0.0))
+        extra = f"  ({RES*RES/t*1e-3:.1f} M rays/s)" if name[0] == "A" else ""
+        print(f"{name:24s}: {t:7.3f} ms{extra}", flush=True)
 
+    if "S" not in phases:
+        return
     # isolated pair sorts at binning shapes
     rng = np.random.default_rng(0)
     for n in (460_836, 253_000, 229_660):
@@ -140,7 +143,13 @@ def main():
             return (k2, p2)
 
         t = loop_time(s_step, (key, pay))
-        print(f"S sort n={n:7d}         : {t:7.3f} ms")
+
+        def k_step(i, k, key=key):
+            return jax.lax.sort(k ^ (i + 1), is_stable=False)
+
+        tk = loop_time(k_step, key)
+        print(f"S sort n={n:7d}         : co-sort {t:7.3f} ms | "
+              f"key-only {tk:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
