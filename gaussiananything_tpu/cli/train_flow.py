@@ -133,23 +133,31 @@ def main(argv=None):
         files = sorted(glob.glob(os.path.join(args.latent_dir, "*.npz")))
         assert files, f"no npz latents in {args.latent_dir}"
         arrs = [np.load(f) for f in files]
+        # Device-resident dataset cache: extracted latents are small (a few
+        # hundred MB for the full release set), so upload ONCE and gather
+        # per-step batches on device — per-step host→device image uploads
+        # cost seconds through a tunneled chip (~20 MB/s) and would starve
+        # the train step.
+        lat_all = jnp.asarray(np.stack([a["latent_normalized"]
+                                        for a in arrs]))
+        xyz_all = jnp.asarray(np.stack([a["query_pcd_xyz"] for a in arrs]))
+        caps_all = [str(a.get("caption", "")) for a in arrs]
+        cond_all = (None if text_cond
+                    else jnp.asarray(np.stack([a["cond"] for a in arrs])))
 
         def data_iter(rng_np):
             while True:
                 idx = rng_np.integers(0, len(arrs), cfg.optim.batch_size)
-                lat = np.stack([arrs[i]["latent_normalized"] for i in idx])
-                xyz = np.stack([arrs[i]["query_pcd_xyz"] for i in idx])
+                didx = jnp.asarray(idx)
                 if text_cond:
-                    caps = [str(arrs[i].get("caption", "")) for i in idx]
-                    b = {"cond": tokenize(caps)}
+                    b = {"cond": tokenize([caps_all[i] for i in idx])}
                 else:
-                    condb = np.stack([arrs[i]["cond"] for i in idx])
-                    b = {"cond": jnp.asarray(condb)}
+                    b = {"cond": jnp.take(cond_all, didx, axis=0)}
                 if args.stage == 1:
-                    b["latent"] = jnp.asarray(xyz) / XYZ_SCALE
+                    b["latent"] = jnp.take(xyz_all, didx, 0) / XYZ_SCALE
                 else:
-                    b["latent"] = jnp.asarray(lat)
-                    b["xyz"] = jnp.asarray(xyz)
+                    b["latent"] = jnp.take(lat_all, didx, 0)
+                    b["xyz"] = jnp.take(xyz_all, didx, 0)
                 yield b
     else:
         # synthetic: stage-1 latent = FPS xyz of procedural objects;

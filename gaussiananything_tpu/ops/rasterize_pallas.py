@@ -1300,9 +1300,9 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
                               full_h or img_h, img_w, tanfov)
     spx = jax.tree.map(jax.lax.stop_gradient, sp)
-    pairs, starts, counts = rz.build_tile_pairs(
+    pairs, starts, counts, dorder = rz.build_tile_pairs(
         spx, img_h, img_w, tile, max_per_tile, row0=row0,
-        big_capacity=big_capacity)
+        big_capacity=big_capacity, rank_pairs=True)
 
     tiles_x = img_w // tile
     tiles_y = img_h // tile
@@ -1339,8 +1339,9 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
 
     N = gaussians.shape[0]
     packed = rz.pack_splat_render(sp)                       # differentiable
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
+    packed_rows = jnp.concatenate(
+        [jnp.take(packed, dorder, axis=1),
+         jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1).T   # (N+1, 22)
     starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
     counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
     lane = jnp.arange(chunk, dtype=jnp.int32)
@@ -1349,8 +1350,12 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     in_rng = pos < counts_gj[:, :, None]
     sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
     sid = jnp.where(in_rng.reshape(-1), sid, N)
-    # differentiable gather: its VJP is the splat-space scatter-add
-    tab = jnp.take(packed, sid, axis=1).reshape(rz.PACKED_F, cap, G, chunk)
+    # `pairs` carry depth ranks into the depth-ordered row table; the ROW
+    # gather moves 88 contiguous bytes per splat (slot-bound TPU gather —
+    # 22 strided element-gathers measured ~3.9 ms at 512²/73k). Its VJP is
+    # the splat-space row scatter-add.
+    rows = jnp.take(packed_rows, sid, axis=0)               # (M, 22)
+    tab = jnp.moveaxis(rows.reshape(cap, G, chunk, rz.PACKED_F), -1, 0)
 
     tx = (order % tiles_x).astype(jnp.int32)
     ty = (order // tiles_x).astype(jnp.int32)

@@ -33,8 +33,8 @@ def main():
     ref = rz.rasterize_tiled(g, cv, cvp, tf, bg, RES, RES, tile=16,
                              max_per_tile=2048, chunk=256, tile_group=16)
 
-    for (G, chunk, spg) in ((8, 128, 2.6), (16, 128, 2.6), (4, 128, 2.6),
-                            (8, 256, 1.7), (16, 256, 1.7)):
+    for (G, chunk, spg) in ((16, 128, 3.0), (16, 256, 1.7), (32, 128, 5.0),
+                            (32, 256, 2.6), (8, 256, 1.7), (16, 512, 1.2)):
         def step(i, acc, G=G, chunk=chunk, spg=spg):
             out = rasterize_tiled_v4(
                 g + acc * 1e-20, cv, cvp, tf, bg, RES, RES, tile=16,
