@@ -66,16 +66,18 @@ def main():
 
     def _pairs(acc):
         sp = rz.preprocess_splats(g + acc * 1e-20, cv, cvp, RES, RES, tf)
-        pairs, starts, counts = rz.build_tile_pairs(sp, RES, RES, TILE, MPT)
-        return sp, pairs, starts, counts
+        pairs, starts, counts, dorder = rz.build_tile_pairs(
+            sp, RES, RES, TILE, MPT, rank_pairs=True)
+        return sp, pairs, starts, counts, dorder
 
     def phase_C(i, acc):
-        sp, pairs, starts, counts = _pairs(acc)
-        return acc + (jnp.sum(counts) + pairs[123]).astype(jnp.float32) * 1e-9
+        sp, pairs, starts, counts, dorder = _pairs(acc)
+        return acc + (jnp.sum(counts) + pairs[123]
+                      + dorder[7]).astype(jnp.float32) * 1e-9
 
     def phase_D(i, acc):
         # replicate the v4 prepare stage (step maps + dense table gather)
-        sp, pairs, starts, counts = _pairs(acc)
+        sp, pairs, starts, counts, dorder = _pairs(acc)
         tiles_x = RES // TILE
         n_tiles = tiles_x * (RES // TILE)
         n_groups = n_tiles // G
@@ -102,8 +104,9 @@ def main():
         step_chunk = jnp.where(live, step_chunk, n_chunks_max)
         N = g.shape[0]
         packed = rz.pack_splat_render(sp)
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
+        packed_rows = jnp.concatenate(
+            [jnp.take(packed, dorder, axis=1),
+             jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1).T
         starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group,
                              axis=0)
         counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group,
@@ -114,8 +117,8 @@ def main():
         in_rng = pos < counts_gj[:, :, None]
         sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
         sid = jnp.where(in_rng.reshape(-1), sid, N)
-        tab = jnp.take(packed, sid, axis=1).reshape(
-            rz.PACKED_F, cap, G, CHUNK)
+        rows = jnp.take(packed_rows, sid, axis=0)
+        tab = jnp.moveaxis(rows.reshape(cap, G, CHUNK, rz.PACKED_F), -1, 0)
         return acc + jnp.sum(tab[3]) * 1e-9
 
     for name, fn in (("B preprocess+pack", phase_B),
