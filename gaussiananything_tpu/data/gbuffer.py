@@ -62,6 +62,19 @@ def load_instance(path: str) -> Dict[str, np.ndarray]:
     }
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _assemble_batch_jit(rgb_in, normal_in, depth_in, alpha_in, pose_in,
+                        pose_sup):
+    imgs_in = assemble_encoder_input(
+        jnp.asarray(rgb_in), jnp.asarray(normal_in), jnp.asarray(depth_in),
+        jnp.asarray(alpha_in), jnp.asarray(pose_in))
+    cam = cameras.pose_to_gs_camera(jnp.asarray(pose_sup))
+    return imgs_in, cam
+
+
 class MultiViewDataset:
     """Random-view multi-view batches from a directory of packed instances."""
 
@@ -137,11 +150,15 @@ class MultiViewDataset:
         samples = [self._sample() for _ in range(batch_size)]
         captions = [s.pop("caption") for s in samples]
         stacked = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        imgs_in = assemble_encoder_input(
-            jnp.asarray(stacked["rgb_in"]), jnp.asarray(stacked["normal_in"]),
-            jnp.asarray(stacked["depth_in"]), jnp.asarray(stacked["alpha_in"]),
-            jnp.asarray(stacked["pose_in"]))
-        cam = cameras.pose_to_gs_camera(jnp.asarray(stacked["pose_sup"]))
+        # ONE jitted assembly call per batch: eagerly dispatching the
+        # encoder-input assembly + camera math is dozens of tiny ops —
+        # ~3-5 ms tunnel latency EACH on a remote chip, which starved the
+        # train step (measured 4 s/batch at 128²/batch-4; the jitted
+        # assembly is one dispatch).
+        out = _assemble_batch_jit(
+            stacked["rgb_in"], stacked["normal_in"], stacked["depth_in"],
+            stacked["alpha_in"], stacked["pose_in"], stacked["pose_sup"])
+        imgs_in, cam = out
         return {
             "images_in": imgs_in,
             "pcd": jnp.asarray(stacked["pcd"]),

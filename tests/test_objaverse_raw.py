@@ -203,4 +203,7 @@ class TestChunkLayout:
         assert b["images_sup"].shape == (2, 2, 3, 16, 16)
         assert b["pcd"].shape == (2, 256, 3)
         for k, v in b.items():
+            if k == "caption":          # string sidecar, not a tensor
+                assert isinstance(v, list)
+                continue
             assert np.isfinite(np.asarray(v)).all(), k
