@@ -191,3 +191,29 @@ class TestGradients:
             a = float(analytic[i, j])
             best = min(nums, key=lambda n: abs(n - a))
             assert best == pytest.approx(a, rel=0.05, abs=2e-2), (i, j, nums)
+
+
+class TestRankPairs:
+    def test_rank_pairs_equivalent_to_id_pairs(self):
+        """`rank_pairs=True` must produce the SAME per-tile depth-ordered
+        segments as the id-pairs co-sort: ids = depth_order[ranks]."""
+        from gaussiananything_tpu.data.synthetic import make_object
+        from gaussiananything_tpu.ops import rasterize as rz
+        from gaussiananything_tpu.render import cameras
+
+        g = make_object(3, n=2048)
+        cam = cameras.pose_to_gs_camera(jnp.asarray(
+            cameras.generate_input_camera(1.8, [(15, 70)])[0]))
+        sp = rz.preprocess_splats(g, cam["cam_view"], cam["cam_view_proj"],
+                                  128, 128, cam["tanfov"])
+        p1, s1, c1 = rz.build_tile_pairs(sp, 128, 128, 16, 512)
+        p2, s2, c2, order = rz.build_tile_pairs(sp, 128, 128, 16, 512,
+                                                rank_pairs=True)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        ids_from_ranks = np.asarray(jnp.take(order, p2))
+        p1 = np.asarray(p1)
+        for t in range(len(c1)):
+            seg = slice(int(s1[t]), int(s1[t]) + int(c1[t]))
+            np.testing.assert_array_equal(ids_from_ranks[seg], p1[seg],
+                                          err_msg=f"tile {t}")
