@@ -49,7 +49,9 @@ def main(argv=None):
     b0 = make_batch(seed=0, batch=1, n_views_in=cfg.data.n_views_in,
                     n_views_sup=1, res=cfg.data.resolution,
                     n_pts=cfg.data.n_points, n_splats=512)
-    params = model.init(rng, b0["images_in"], b0["pcd"], rng)
+    # jit the init: an eager flax init dispatches thousands of tiny ops
+    # through the tunnel (~3-5 ms each = minutes at release size)
+    params = jax.jit(model.init)(rng, b0["images_in"], b0["pcd"], rng)
     if args.ckpt:
         from gaussiananything_tpu.train.state import restore_inference_params
         params = restore_inference_params(args.ckpt, params)

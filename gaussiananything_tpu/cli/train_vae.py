@@ -130,7 +130,8 @@ def main(argv=None):
     it = data_iter(cfg.seed)
     batch0 = next(it)
     tanfov = batch0.pop("tanfov")
-    params = model.init(rng, batch0["images_in"][:1], batch0["pcd"][:1], rng)
+    params = jax.jit(model.init)(rng, batch0["images_in"][:1],
+                                 batch0["pcd"][:1], rng)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"VAE params: {n_params/1e6:.2f}M; devices: {jax.devices()}")
 
