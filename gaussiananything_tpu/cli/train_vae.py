@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--data-dir", default=None,
                    help="packed gbuffer npz dataset (data/gbuffer.py); "
                         "per-step procedural scenes otherwise")
+    p.add_argument("--canonicalize", action="store_true",
+                   help="frame-0-as-canonical pose/pcd rebase per chunk "
+                        "(reference frame_0_as_canonical)")
     p.add_argument("--holdout", type=int, default=0,
                    help="with --data-dir: reserve the LAST N instances as "
                         "a FIXED held-out eval split (never trained on); "
@@ -93,7 +96,7 @@ def main(argv=None):
             args.data_dir, files=files[:split],
             n_views_in=cfg.data.n_views_in, n_views_sup=cfg.data.n_views_sup,
             n_points=cfg.data.n_points, resolution=cfg.data.resolution,
-            seed=cfg.seed)
+            seed=cfg.seed, canonicalize=args.canonicalize)
         print(f"dataset: {split} train / {args.holdout} held-out instances")
 
         def data_iter(seed0: int):
@@ -109,7 +112,7 @@ def main(argv=None):
                 n_views_in=cfg.data.n_views_in,
                 n_views_sup=cfg.data.n_views_sup,
                 n_points=cfg.data.n_points, resolution=cfg.data.resolution,
-                seed=12345)
+                seed=12345, canonicalize=args.canonicalize)
             eval_batch_fixed = eval_ds.batch(min(args.holdout, 4))
             eval_batch_fixed.pop("caption", None)
     else:
@@ -129,7 +132,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg.seed)
     it = data_iter(cfg.seed)
     batch0 = next(it)
-    tanfov = batch0.pop("tanfov")
+    batch0.pop("tanfov")
     params = jax.jit(model.init)(rng, batch0["images_in"][:1],
                                  batch0["pcd"][:1], rng)
     n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -193,9 +196,11 @@ def main(argv=None):
     step0 = int(state.step)        # resume-aware steps_per_s numerator
     for i in range(int(state.step), cfg.optim.total_steps):
         batch = next(it)
-        batch.pop("tanfov")
+        # each batch's OWN tanfov (heterogeneous-intrinsics datasets render
+        # with the right FOV); batch0's tanfov only seeded model.init
+        batch_tanfov = batch.pop("tanfov")
         sharded = shard_batch(mesh, batch)
-        sharded["tanfov"] = tanfov
+        sharded["tanfov"] = batch_tanfov
         step_rng = jax.random.fold_in(rng, i)
         with logger.profile("g_step"):
             if args.adv:
@@ -214,8 +219,6 @@ def main(argv=None):
             from gaussiananything_tpu.train.evaluation import eval_novelview
             eval_batch = (dict(eval_batch_fixed)
                           if eval_batch_fixed is not None else next(it))
-            eval_batch.pop("tanfov")
-            eval_batch["tanfov"] = tanfov
             m = eval_novelview(model, state.ema_params, eval_batch,
                                step_rng, loss_cfg.lod_resolutions,
                                out_dir=os.path.join(logdir, "eval"),
@@ -223,7 +226,8 @@ def main(argv=None):
             for k, v in m.items():
                 logger.logkv(k, v)
             logger.dumpkvs(i + 1)      # persist eval rows at eval cadence
-        if (i + 1) % 20 == 0 or i == 0:
+        if ((i + 1) % 20 == 0 or i == 0) \
+                and (i + 1) % args.eval_every != 0:
             logger.logkv("steps_per_s",
                          (i + 1 - step0) / max(time.time() - t0, 1e-9))
             logger.dumpkvs(i + 1)

@@ -29,6 +29,9 @@ class VAEModelConfig:
     # weight-compatible release mode (import official checkpoints); see
     # PointVAE.release_parity
     release_parity: bool = False
+    # SurfelHead raw-scale bias init (−2.5 = reference-faithful sub-pixel
+    # init; see models/vae.SurfelHead for the pixel-scale ablation)
+    scale_bias: float = -2.5
     # "bfloat16" = mixed precision: bf16 matmul/activation compute, fp32
     # params + norms + adaLN + latent stats + gaussian activations (the
     # reference trains BF16 AMP, `nsr/train_util.py:119-127`).

@@ -65,14 +65,33 @@ def load_instance(path: str) -> Dict[str, np.ndarray]:
 import jax as _jax
 
 
-@_jax.jit
+import functools as _functools
+
+
+@_functools.partial(_jax.jit, static_argnames=("canonicalize",))
 def _assemble_batch_jit(rgb_in, normal_in, depth_in, alpha_in, pose_in,
-                        pose_sup):
+                        pose_sup, pcd, canonicalize: bool = False):
+    pose_in = jnp.asarray(pose_in)
+    pose_sup = jnp.asarray(pose_sup)
+    pcd = jnp.asarray(pcd)
+    if canonicalize:
+        # frame_0_as_canonical (`datasets/g_buffer_objaverse.py:355-399`):
+        # every pose in the chunk AND the point cloud are rebased by the
+        # rigid transform that sends INPUT view 0 to the canonical camera.
+        # in+sup share one transform (computed from the ORIGINAL
+        # pose_in[0]) so the supervision views keep seeing the same scene.
+        from gaussiananything_tpu.data.postprocess import (canonicalize_poses,
+                                                           canonicalize_pts)
+        v_in = pose_in.shape[1]
+        pcd = _jax.vmap(canonicalize_pts)(pose_in, pcd)
+        joint = jnp.concatenate([pose_in, pose_sup], axis=1)
+        joint = _jax.vmap(canonicalize_poses)(joint)
+        pose_in, pose_sup = joint[:, :v_in], joint[:, v_in:]
     imgs_in = assemble_encoder_input(
         jnp.asarray(rgb_in), jnp.asarray(normal_in), jnp.asarray(depth_in),
-        jnp.asarray(alpha_in), jnp.asarray(pose_in))
-    cam = cameras.pose_to_gs_camera(jnp.asarray(pose_sup))
-    return imgs_in, cam
+        jnp.asarray(alpha_in), pose_in)
+    cam = cameras.pose_to_gs_camera(pose_sup)
+    return imgs_in, cam, pcd
 
 
 class MultiViewDataset:
@@ -82,9 +101,13 @@ class MultiViewDataset:
                  n_views_sup: int = 4, n_points: int = 4096,
                  resolution: Optional[int] = None,
                  shard: Tuple[int, int] = (0, 1), seed: int = 0,
-                 files: Optional[List[str]] = None):
+                 files: Optional[List[str]] = None,
+                 canonicalize: bool = False):
         """`files`: explicit instance list (overrides the directory glob) —
-        lets callers carve train/held-out splits from one directory."""
+        lets callers carve train/held-out splits from one directory.
+        `canonicalize`: frame-0-as-canonical pose/pcd rebase per chunk
+        (the reference's frame_0_as_canonical training-time augmentation,
+        `datasets/g_buffer_objaverse.py:355-399`)."""
         if files is None:
             files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
         self.files = files[shard[0]::shard[1]]
@@ -93,6 +116,7 @@ class MultiViewDataset:
         self.n_sup = n_views_sup
         self.n_points = n_points
         self.resolution = resolution
+        self.canonicalize = canonicalize
         self.rng = np.random.default_rng(seed + shard[0])
 
     @staticmethod
@@ -157,11 +181,12 @@ class MultiViewDataset:
         # assembly is one dispatch).
         out = _assemble_batch_jit(
             stacked["rgb_in"], stacked["normal_in"], stacked["depth_in"],
-            stacked["alpha_in"], stacked["pose_in"], stacked["pose_sup"])
-        imgs_in, cam = out
+            stacked["alpha_in"], stacked["pose_in"], stacked["pose_sup"],
+            stacked["pcd"], canonicalize=self.canonicalize)
+        imgs_in, cam, pcd = out
         return {
             "images_in": imgs_in,
-            "pcd": jnp.asarray(stacked["pcd"]),
+            "pcd": pcd,
             "cam_view": cam["cam_view"],
             "cam_view_proj": cam["cam_view_proj"],
             "cam_pos": cam["cam_pos"],

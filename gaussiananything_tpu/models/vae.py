@@ -18,6 +18,7 @@ The latent exposed to the diffusion stage is (kl_z ‖ anchor_xyz):
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
@@ -62,25 +63,36 @@ def _surfel_head_kernel_init(key, shape, dtype=jnp.float32):
     return k.at[:, 6:10].set(1.0)
 
 
-def _surfel_head_bias_init(key, shape, dtype=jnp.float32):
+def _surfel_head_bias_init(key, shape, dtype=jnp.float32,
+                           scale_bias: float = -2.5):
     """bias_inits [0, 0, −2.5, 0, 0.5] over (xyz, opacity, scale, rot, rgb)."""
     b = jnp.zeros(shape, dtype)
-    b = b.at[4:6].set(-2.5)
+    b = b.at[4:6].set(scale_bias)
     b = b.at[10:13].set(0.5)
     return b
 
 
 class SurfelHead(nn.Module):
-    """SiLU + Linear(width→13) with the reference init contract."""
+    """SiLU + Linear(width→13) with the reference init contract.
+
+    scale_bias: raw-scale bias init. The reference's −2.5
+    (`vit/vit_triplane.py:287-341`) yields scale ≈ 5.1e-4 — SUB-PIXEL at
+    every training resolution (0.28 px at 512²), which puts d alpha/d scale
+    ≈ 0 through the 2D low-pass branch and freezes splat growth at short
+    horizons (BENCH_NOTES r4). Configurable for the pixel-scale-init
+    ablation (e.g. +1.33 ⇒ scale ≈ 1e-2 ≈ 1.3 px at 128²/6144 splats)."""
 
     dtype: jnp.dtype = jnp.float32
+    scale_bias: float = -2.5
 
     @nn.compact
     def __call__(self, x):
         x = nn.silu(x)
-        return nn.Dense(13, kernel_init=_surfel_head_kernel_init,
-                        bias_init=_surfel_head_bias_init,
-                        dtype=self.dtype)(x)
+        return nn.Dense(
+            13, kernel_init=_surfel_head_kernel_init,
+            bias_init=functools.partial(_surfel_head_bias_init,
+                                        scale_bias=self.scale_bias),
+            dtype=self.dtype)(x)
 
 
 class PointVAE(nn.Module):
@@ -106,6 +118,7 @@ class PointVAE(nn.Module):
     # unscaled upsample offsets (no skip_weight above the base level,
     # `vit/vit_triplane.py:1044-1049`).
     release_parity: bool = False
+    scale_bias: float = -2.5     # SurfelHead ablation knob (see its doc)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -127,7 +140,8 @@ class PointVAE(nn.Module):
                              heads=self.decoder_heads,
                              release_parity=self.release_parity,
                              dtype=self.dtype)
-        self.base_head = SurfelHead(dtype=self.dtype)
+        self.base_head = SurfelHead(dtype=self.dtype,
+                                    scale_bias=self.scale_bias)
         self.upsamplers = [
             GaussianUpsampler(factor=f, depth=d,
                               release_parity=self.release_parity,
@@ -215,6 +229,7 @@ class PointVAE(nn.Module):
             up_depths=tuple(vae_cfg.up_depths),
             skip_weight=vae_cfg.skip_weight,
             release_parity=getattr(vae_cfg, "release_parity", False),
+            scale_bias=getattr(vae_cfg, "scale_bias", -2.5),
             dtype=dtype or compute_dtype(vae_cfg.compute_dtype))
 
     # Diffusion-facing latent: (kl_z ‖ anchors/scale) per token.

@@ -756,6 +756,43 @@ def rasterize_tiled_pallas_v3(
 # ---------------------------------------------------------------------------
 
 
+GATHER_KIND = "c64"   # "f32" | "c64" — A/B'd on chip (tools/v4_sweep)
+
+
+def _gather_rows(packed_rows: jnp.ndarray, sid: jnp.ndarray) -> jnp.ndarray:
+    """Row gather for the step table: (N+1, F) fp32 rows → (M, F).
+
+    TPU lowers a row gather to F strided per-element gathers and the cost
+    is SLOT-bound, not byte-bound (~3.9 ms for 393k×22 at 512², r4 probe).
+    "c64" packs adjacent fp32 field pairs into complex64 lanes so the same
+    rows move through HALF the gather slots; the pack/unpack is cheap
+    elementwise VPU work and the values are bit-exact (complex64 on TPU is
+    a carried (re, im) fp32 pair). Differentiable: the take's VJP is the
+    splat-space scatter-add either way (c64 cotangents scatter as pairs).
+    """
+    if GATHER_KIND == "c64" and packed_rows.shape[1] % 2 == 0:
+        F = packed_rows.shape[1]
+        c = jax.lax.complex(packed_rows[:, 0::2], packed_rows[:, 1::2])
+        y = jnp.take(c, sid, axis=0)                     # (M, F//2) c64
+        return jnp.stack([jnp.real(y), jnp.imag(y)], -1).reshape(-1, F)
+    return jnp.take(packed_rows, sid, axis=0)
+
+
+def _v4_binning(spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
+                n_tiles, N):
+    """build_tile_pairs with the packed-key rank regime when it applies;
+    falls back to the id-payload co-sort for huge scenes (N > 131072 or
+    > 16382 tiles), where `pairs` already hold splat ids (dorder=None)."""
+    if n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17):
+        return rz.build_tile_pairs(
+            spx, img_h, img_w, tile, max_per_tile, row0=row0,
+            big_capacity=big_capacity, rank_pairs=True)
+    pairs, starts, counts = rz.build_tile_pairs(
+        spx, img_h, img_w, tile, max_per_tile, row0=row0,
+        big_capacity=big_capacity)
+    return pairs, starts, counts, None
+
+
 def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                     unroll: bool = True):
     P = tile * tile
@@ -828,14 +865,27 @@ def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                 def rsum(x):
                     return jnp.sum(x, axis=1)               # (P,)
 
-                s_w = rsum(w)
-                out_ref[0, 1, :, j] += rsum(w * col(16))
-                out_ref[0, 2, :, j] += rsum(w * col(17))
-                out_ref[0, 3, :, j] += rsum(w * col(18))
+                # The 7 broadcast-column reductions Σ_k w[p,k]·f[k] are ONE
+                # (P,chunk)·(chunk,7) contraction → MXU (runs beside the
+                # VPU; fp32 via HIGHEST — default rounds MXU inputs to
+                # bf16, CLAUDE.md), replacing 7 VPU multiply+tree-reduce
+                # chains. Only the per-PIXEL-varying reductions (depth,
+                # median, distortion moments) stay on the VPU.
+                rhs = jnp.concatenate(
+                    [tab_ref[16:22, 0, j, :],
+                     jnp.ones((1, chunk), jnp.float32)], axis=0)  # (7, K)
+                feats = jax.lax.dot_general(
+                    w, rhs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)    # (P, 7)
+                s_w = feats[:, 6]
+                out_ref[0, 1, :, j] += feats[:, 0]
+                out_ref[0, 2, :, j] += feats[:, 1]
+                out_ref[0, 3, :, j] += feats[:, 2]
                 out_ref[0, 5, :, j] += rsum(w * depth)
-                out_ref[0, 8, :, j] += rsum(w * col(19))
-                out_ref[0, 9, :, j] += rsum(w * col(20))
-                out_ref[0, 10, :, j] += rsum(w * col(21))
+                out_ref[0, 8, :, j] += feats[:, 3]
+                out_ref[0, 9, :, j] += feats[:, 4]
+                out_ref[0, 10, :, j] += feats[:, 5]
 
                 t_after = trans * t_incl
                 crossed = (t_in > 0.5) & (t_after <= 0.5)
@@ -898,13 +948,14 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
                               full_h or img_h, img_w, tanfov)
     spx = jax.tree.map(jax.lax.stop_gradient, sp)
-    pairs, starts, counts, dorder = rz.build_tile_pairs(
-        spx, img_h, img_w, tile, max_per_tile, row0=row0,
-        big_capacity=big_capacity, rank_pairs=True)
-
     tiles_x = img_w // tile
     tiles_y = img_h // tile
     n_tiles = tiles_x * tiles_y
+    N = gaussians.shape[0]
+    pairs, starts, counts, dorder = _v4_binning(
+        spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
+        n_tiles, N)
+
     P = tile * tile
     if n_tiles % group != 0:
         import math
@@ -940,14 +991,16 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     step_chunk = jnp.where(live, step_chunk, n_chunks_max)
 
     # ---- gather the executed blocks into the dense step table --------------
-    # `pairs` holds depth RANKS; permute the packed table into depth order
-    # once (cheap N-column gather) so the step-table gather indexes it
-    # directly — no splat-id payload rode through the pair sort.
-    N = gaussians.shape[0]
+    # `pairs` holds depth RANKS (packed-key regime); permute the packed
+    # table into depth order once (cheap N-column gather) so the
+    # step-table gather indexes it directly — no splat-id payload rode
+    # through the pair sort. Fallback regime: pairs are splat ids and the
+    # table is indexed directly (dorder is None).
     packed = rz.pack_splat_render(sp)                       # (22, N)
-    packed = jnp.take(packed, dorder, axis=1)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
+    if dorder is not None:
+        packed = jnp.take(packed, dorder, axis=1)
+    packed_rows = jnp.concatenate(
+        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1).T
     starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
     counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
     lane = jnp.arange(chunk, dtype=jnp.int32)
@@ -956,8 +1009,8 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     in_rng = pos < counts_gj[:, :, None]
     sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
     sid = jnp.where(in_rng.reshape(-1), sid, N)             # dummy splat
-    tab = jnp.take(packed, sid, axis=1).reshape(
-        rz.PACKED_F, cap, G, chunk)
+    rows = _gather_rows(packed_rows, sid)                   # (M, 22)
+    tab = jnp.moveaxis(rows.reshape(cap, G, chunk, rz.PACKED_F), -1, 0)
 
     tx = (order % tiles_x).astype(jnp.int32)
     ty = (order // tiles_x).astype(jnp.int32)
@@ -1228,25 +1281,41 @@ def _v4_bwd_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                 ct_safe = -(inv * inv) * ct_inv
                 ct_p2 = jnp.where(jnp.abs(p2) < 1e-9, 0.0, ct_safe)
 
-                ct_tza = csum(px * ct_num)
-                ct_tzb = csum(py * ct_num)
-                ct_tzc = csum(ct_num)
+                # ---- MXU bundle for the structure-factorable csums -----
+                # 18 pixel-axis reductions factor as Σ_p L[p,a]·R[p,c]:
+                # lhs columns (1, px, py | ct_r*, ct_n*), rhs lane panels
+                # (ct_num, ct_p0..2 | w). ONE (P,9)ᵀ·(P,5·chunk) MXU
+                # contraction replaces 18 VPU multiply + sublane-tree-
+                # reduce chains (the backward's dominant vector cost).
+                # fp32 via HIGHEST (default rounds MXU inputs to bf16 —
+                # CLAUDE.md).
+                ones_p = jnp.ones((P, 1), jnp.float32)
+                lhs = jnp.concatenate(
+                    [ones_p, px, py, ct_r0, ct_r1, ct_r2,
+                     ct_n0, ct_n1, ct_n2], axis=1)          # (P, 9)
+                rhs = jnp.concatenate(
+                    [ct_num, ct_p0, ct_p1, ct_p2, w], axis=1)  # (P, 5K)
+                red = jax.lax.dot_general(
+                    lhs, rhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)    # (9, 5K)
+
+                def red_at(a, p):                           # (1, chunk)
+                    return red[a:a + 1, p * chunk:(p + 1) * chunk]
+
+                ct_tza = red_at(1, 0)
+                ct_tzb = red_at(2, 0)
+                ct_tzc = red_at(0, 0)
                 tz0, tz1, tz2 = col(9), col(10), col(11)
-                dtab_ref[0, 0, j, :] = (csum(px * ct_p0)
-                                        + ct_tza * tz0)[0]
-                dtab_ref[1, 0, j, :] = (csum(px * ct_p1)
-                                        + ct_tza * tz1)[0]
-                dtab_ref[2, 0, j, :] = (csum(px * ct_p2)
-                                        + ct_tza * tz2)[0]
-                dtab_ref[3, 0, j, :] = (csum(py * ct_p0)
-                                        + ct_tzb * tz0)[0]
-                dtab_ref[4, 0, j, :] = (csum(py * ct_p1)
-                                        + ct_tzb * tz1)[0]
-                dtab_ref[5, 0, j, :] = (csum(py * ct_p2)
-                                        + ct_tzb * tz2)[0]
-                dtab_ref[6, 0, j, :] = (csum(ct_p0) + ct_tzc * tz0)[0]
-                dtab_ref[7, 0, j, :] = (csum(ct_p1) + ct_tzc * tz1)[0]
-                dtab_ref[8, 0, j, :] = (csum(ct_p2) + ct_tzc * tz2)[0]
+                dtab_ref[0, 0, j, :] = (red_at(1, 1) + ct_tza * tz0)[0]
+                dtab_ref[1, 0, j, :] = (red_at(1, 2) + ct_tza * tz1)[0]
+                dtab_ref[2, 0, j, :] = (red_at(1, 3) + ct_tza * tz2)[0]
+                dtab_ref[3, 0, j, :] = (red_at(2, 1) + ct_tzb * tz0)[0]
+                dtab_ref[4, 0, j, :] = (red_at(2, 2) + ct_tzb * tz1)[0]
+                dtab_ref[5, 0, j, :] = (red_at(2, 3) + ct_tzb * tz2)[0]
+                dtab_ref[6, 0, j, :] = (red_at(0, 1) + ct_tzc * tz0)[0]
+                dtab_ref[7, 0, j, :] = (red_at(0, 2) + ct_tzc * tz1)[0]
+                dtab_ref[8, 0, j, :] = (red_at(0, 3) + ct_tzc * tz2)[0]
                 dtab_ref[9, 0, j, :] = (ct_tza * col(0) + ct_tzb * col(3)
                                         + ct_tzc * col(6))[0]
                 dtab_ref[10, 0, j, :] = (ct_tza * col(1) + ct_tzb * col(4)
@@ -1254,12 +1323,12 @@ def _v4_bwd_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                 dtab_ref[11, 0, j, :] = (ct_tza * col(2) + ct_tzb * col(5)
                                          + ct_tzc * col(8))[0]
 
-                dtab_ref[16, 0, j, :] = csum(w * ct_r0)[0]
-                dtab_ref[17, 0, j, :] = csum(w * ct_r1)[0]
-                dtab_ref[18, 0, j, :] = csum(w * ct_r2)[0]
-                dtab_ref[19, 0, j, :] = csum(w * ct_n0)[0]
-                dtab_ref[20, 0, j, :] = csum(w * ct_n1)[0]
-                dtab_ref[21, 0, j, :] = csum(w * ct_n2)[0]
+                dtab_ref[16, 0, j, :] = red_at(3, 4)[0]
+                dtab_ref[17, 0, j, :] = red_at(4, 4)[0]
+                dtab_ref[18, 0, j, :] = red_at(5, 4)[0]
+                dtab_ref[19, 0, j, :] = red_at(6, 4)[0]
+                dtab_ref[20, 0, j, :] = red_at(7, 4)[0]
+                dtab_ref[21, 0, j, :] = red_at(8, 4)[0]
 
                 # ---- carry the state cotangent backward ----------------
                 scr_ref[0, :, j] = ct_tr_new[:, 0]
@@ -1300,13 +1369,13 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
                               full_h or img_h, img_w, tanfov)
     spx = jax.tree.map(jax.lax.stop_gradient, sp)
-    pairs, starts, counts, dorder = rz.build_tile_pairs(
-        spx, img_h, img_w, tile, max_per_tile, row0=row0,
-        big_capacity=big_capacity, rank_pairs=True)
-
     tiles_x = img_w // tile
     tiles_y = img_h // tile
     n_tiles = tiles_x * tiles_y
+    N = gaussians.shape[0]
+    pairs, starts, counts, dorder = _v4_binning(
+        spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
+        n_tiles, N)
     P = tile * tile
     if n_tiles % group != 0:
         import math
@@ -1337,10 +1406,11 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     step_group = jnp.where(live, step_group, n_groups - 1)
     step_chunk = jnp.where(live, step_chunk, n_chunks_max)
 
-    N = gaussians.shape[0]
     packed = rz.pack_splat_render(sp)                       # differentiable
+    if dorder is not None:
+        packed = jnp.take(packed, dorder, axis=1)
     packed_rows = jnp.concatenate(
-        [jnp.take(packed, dorder, axis=1),
+        [packed,
          jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1).T   # (N+1, 22)
     starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
     counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
@@ -1351,10 +1421,9 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
     sid = jnp.where(in_rng.reshape(-1), sid, N)
     # `pairs` carry depth ranks into the depth-ordered row table; the ROW
-    # gather moves 88 contiguous bytes per splat (slot-bound TPU gather —
-    # 22 strided element-gathers measured ~3.9 ms at 512²/73k). Its VJP is
-    # the splat-space row scatter-add.
-    rows = jnp.take(packed_rows, sid, axis=0)               # (M, 22)
+    # gather is slot-bound (see _gather_rows — c64 packing halves the
+    # slots). Its VJP is the splat-space row scatter-add.
+    rows = _gather_rows(packed_rows, sid)                   # (M, 22)
     tab = jnp.moveaxis(rows.reshape(cap, G, chunk, rz.PACKED_F), -1, 0)
 
     tx = (order % tiles_x).astype(jnp.int32)

@@ -88,7 +88,7 @@ def render_multiview(gaussians, cam_view, cam_view_proj, tanfov, bg,
             from gaussiananything_tpu.render import sharded
             out = sharded.render_view_sharded(
                 mesh, g, cv, cvp, tf, bgc, out_size, tile=tile,
-                max_per_tile=max_per_tile, chunk=chunk)
+                max_per_tile=max_per_tile, chunk=chunk, impl=impl)
         elif impl == "fused":
             from gaussiananything_tpu.ops.rasterize_pallas import (
                 rasterize_tiled_v4_train)

@@ -25,10 +25,14 @@ def render_view_sharded(mesh: Mesh, gaussians: jnp.ndarray,
                         cam_view: jnp.ndarray, cam_view_proj: jnp.ndarray,
                         tanfov, bg_color: jnp.ndarray, out_size: int,
                         tile: int = 16, max_per_tile: int = 1024,
-                        chunk: int = 256) -> Dict[str, jnp.ndarray]:
+                        chunk: int = 256, impl: str = "xla"
+                        ) -> Dict[str, jnp.ndarray]:
     """One view rendered with rows sharded over the mesh `tile` axis.
 
     gaussians (N, 13) replicated; returns full (H, W, C…) maps.
+    impl: "xla" | "fused" | "fused_nograd" — the fused Pallas kernels
+    compose with row bands through their `row0`/`full_h` support (each
+    shard bins + composites only its band's tiles).
     """
     n_shards = mesh.shape["tile"]
     assert out_size % (n_shards * tile) == 0, (
@@ -38,11 +42,19 @@ def render_view_sharded(mesh: Mesh, gaussians: jnp.ndarray,
 
     def worker(g, cv, cvp, tf, bg):
         i = jax.lax.axis_index("tile")
-        out = rz.rasterize_tiled(
-            g, cv, cvp, tf, bg, band, out_size, tile=tile,
-            max_per_tile=max_per_tile, chunk=chunk,
-            tile_group=max(1, (band // tile) * (out_size // tile) // 8),
-            full_h=out_size, row0=i * band)
+        if impl in ("fused", "fused_nograd"):
+            from gaussiananything_tpu.ops import rasterize_pallas as rp
+            fn = (rp.rasterize_tiled_v4_train if impl == "fused"
+                  else rp.rasterize_tiled_v4)
+            out = fn(g, cv, cvp, tf, bg, band, out_size, tile=tile,
+                     max_per_tile=max_per_tile, chunk=chunk,
+                     full_h=out_size, row0=i * band)
+        else:
+            out = rz.rasterize_tiled(
+                g, cv, cvp, tf, bg, band, out_size, tile=tile,
+                max_per_tile=max_per_tile, chunk=chunk,
+                tile_group=max(1, (band // tile) * (out_size // tile) // 8),
+                full_h=out_size, row0=i * band)
         return out
 
     try:

@@ -67,9 +67,10 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
     def micro_grads(dit_params, cond_params, batch, rng):
         rng_c, rng_t = jax.random.split(rng)
 
-        def loss(dp, cp):
-            cond = conditioner_model.apply(cp, batch["cond"],
-                                           rng=rng_c, train=True)
+        def loss(dp, cp, cond_pre=None):
+            cond = (conditioner_model.apply(cp, batch["cond"],
+                                            rng=rng_c, train=True)
+                    if cond_pre is None else cond_pre)
 
             def velocity(xt, t):
                 kwargs = {}
@@ -87,12 +88,19 @@ def make_fm_train_step(dit_model, conditioner_model, transport: Transport,
             (l, aux), grads = jax.value_and_grad(
                 loss, argnums=(0, 1), has_aux=True)(dit_params, cond_params)
             return l, aux, grads[0], grads[1]
-        # frozen conditioner: differentiate w.r.t. the DiT only —
-        # a joint backward would pay the full (e.g. DINOv2-L) tower
-        # every step and then throw the grads away
+        # frozen conditioner: run its forward OUTSIDE the differentiated
+        # function — inside it, the linearization pins the whole tower's
+        # activations across the DiT fwd+bwd even under stop_gradient
+        # (microbatch 32 OOM'd on f32[32,768,1024] ViT-L attention temps,
+        # BENCH_NOTES r4). Hoisted, XLA frees them after the cond output;
+        # only the (crossattn, vector) embeddings live into the backward.
+        cond = conditioner_model.apply(
+            jax.lax.stop_gradient(cond_params), batch["cond"],
+            rng=rng_c, train=True)
+        cond = jax.lax.stop_gradient(cond)
         (l, aux), g_dit = jax.value_and_grad(
             loss, argnums=0, has_aux=True)(
-                dit_params, jax.lax.stop_gradient(cond_params))
+                dit_params, cond_params, cond_pre=cond)
         return l, aux, g_dit, None
 
     # donate=True aliases the states through the update: without it the

@@ -69,17 +69,21 @@ class VAELossConfig:
 
 def render_lods(lods, cam_view, cam_view_proj, tanfov, bg, resolutions,
                 max_per_tile=1024, remat: bool = True, impl=None,
-                mesh=None):
+                mesh=None, chunk=None):
     """Render each LoD at its ladder resolution. Returns list of dicts.
 
     remat: wrap each render in `jax.checkpoint` so the backward recomputes
     the compositing instead of storing the per-chunk intermediates — the
     renders otherwise dominate training HBM (21 GB at vae-small/128²).
+
+    chunk: None → the per-impl measured optimum (fused 128 / XLA 256,
+    BENCH_NOTES r4 sweep); pass an explicit value to override.
     """
     from gaussiananything_tpu.render.renderer import default_impl
     if impl is None:
         impl = default_impl(grad=True)
-    chunk = 128 if impl.startswith("fused") else 256
+    if chunk is None:
+        chunk = 128 if impl.startswith("fused") else 256
     B, V = cam_view.shape[:2]
     tanfov = jnp.broadcast_to(jnp.asarray(tanfov, jnp.float32), (B, V))
     bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (B, V, 3))

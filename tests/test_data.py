@@ -40,6 +40,31 @@ class TestGBuffer:
         assert b["pcd"].shape == (2, 64, 3)
         assert np.isfinite(np.asarray(b["images_in"])).all()
 
+    def test_canonicalize_wiring(self, tmp_path):
+        """frame_0_as_canonical in the batch pipeline: rebased cameras must
+        keep seeing the same scene — the rebased pcd projected through the
+        rebased supervision cameras lands on the same pixels as the
+        original pcd through the original cameras."""
+        from gaussiananything_tpu.data.gbuffer import (export_synthetic_dataset,
+                                                       MultiViewDataset)
+        out = str(tmp_path / "ds")
+        export_synthetic_dataset(out, n_instances=2, n_views=6, res=32,
+                                 n_splats=128)
+        kw = dict(n_views_in=2, n_views_sup=2, n_points=64, seed=3)
+        b0 = MultiViewDataset(out, **kw).batch(2)
+        b1 = MultiViewDataset(out, canonicalize=True, **kw).batch(2)
+
+        def project(pcd, cvp):
+            h = np.concatenate([pcd, np.ones_like(pcd[..., :1])], -1)
+            clip = np.einsum("bnj,bjk->bnk", h, np.asarray(cvp[:, 0]))
+            return clip[..., :2] / np.clip(clip[..., 3:4], 1e-6, None)
+
+        p0 = project(np.asarray(b0["pcd"]), np.asarray(b0["cam_view_proj"]))
+        p1 = project(np.asarray(b1["pcd"]), np.asarray(b1["cam_view_proj"]))
+        assert not np.allclose(np.asarray(b0["pcd"]),
+                               np.asarray(b1["pcd"]))  # actually rebased
+        np.testing.assert_allclose(p0, p1, atol=2e-4)
+
     def test_sharding(self, tmp_path):
         from gaussiananything_tpu.data.gbuffer import (export_synthetic_dataset,
                                                        MultiViewDataset)

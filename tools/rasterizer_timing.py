@@ -2,12 +2,18 @@
 
 One serialized TPU job that captures every BENCH_NOTES rasterizer number
 at the release shape (512², 73,728 splats): preprocess / binning /
-composite phase times, full fwd frame, and fwd+bwd via the hand-derived
-chunk VJP. Usage (strictly one TPU process at a time):
+composite phase times, full fwd frame, and fwd+bwd. Usage (strictly one
+TPU process at a time):
 
-    python -m tools.rasterizer_timing [--res 512] [--iters 20]
+    python -m tools.rasterizer_timing [--res 512] [--iters 20] \
+        [--impl xla|fused|fused_nograd]
 
-Prints a small table; paste into BENCH_NOTES.md.
+--impl selects the production path for the fwd / fwd+bwd rows: "fused" =
+Pallas v4 forward + fused analytic Pallas backward (the TPU training
+path), "fused_nograd" = v4 forward only (inference/bench path), "xla" =
+the differentiable XLA compositing loop. Phase/ablation sections always
+probe the XLA pipeline internals. Prints a small table; paste into
+BENCH_NOTES.md.
 """
 from __future__ import annotations
 
@@ -151,10 +157,26 @@ def main():
         print(f"{'detile (C-B)':>28}: {(tc-tb)*1e3:8.2f} ms", flush=True)
 
     # -- full forward --------------------------------------------------------
-    fwd = jax.jit(lambda *a: rz.rasterize_tiled(
-        *a, bg, res, res, tile=tile, max_per_tile=mpt, chunk=chunk,
-        tile_group=group))
-    t_fwd, out = timed("forward frame", fwd, *args)
+    impl = sys.argv[sys.argv.index("--impl") + 1] \
+        if "--impl" in sys.argv else "xla"
+    if impl == "fused" or impl == "fused_nograd":
+        from gaussiananything_tpu.ops.rasterize_pallas import (
+            rasterize_tiled_v4, rasterize_tiled_v4_train)
+        v4_chunk = _arg("--chunk", 128)   # v4 optimum (r4 sweep)
+
+        def render_impl(*a):
+            fn = (rasterize_tiled_v4_train if impl == "fused"
+                  else rasterize_tiled_v4)
+            return fn(*a, bg, res, res, tile=tile, max_per_tile=mpt,
+                      chunk=v4_chunk, group=group)
+    else:
+        def render_impl(*a):
+            return rz.rasterize_tiled(
+                *a, bg, res, res, tile=tile, max_per_tile=mpt, chunk=chunk,
+                tile_group=group)
+
+    fwd = jax.jit(render_impl)
+    t_fwd, out = timed(f"forward frame [{impl}]", fwd, *args)
     rays = res * res / t_fwd
     print(f"{'forward rays/s':>28}: {rays/1e6:8.2f} M", flush=True)
     assert bool(jnp.isfinite(out["image"]).all())
@@ -173,15 +195,17 @@ def main():
             print(f"{'rays/s':>28}: {res*res/t/1e6:8.2f} M", flush=True)
 
     # -- forward + backward ---------------------------------------------------
+    if impl == "fused_nograd":
+        print("(fwd+bwd skipped: fused_nograd has no VJP)", flush=True)
+        return
+
     def loss(g_, cv, cvp, tf):
-        o = rz.rasterize_tiled(g_, cv, cvp, tf, bg, res, res, tile=tile,
-                               max_per_tile=mpt, chunk=chunk,
-                               tile_group=group)
+        o = render_impl(g_, cv, cvp, tf)
         return (o["image"].sum() + o["alpha"].sum() + o["dist"].sum()
                 + o["normal_view"].sum() + o["depth_expected"].sum())
 
     grad = jax.jit(jax.grad(loss))
-    t_fb, gout = timed("forward+backward", grad, *args)
+    t_fb, gout = timed(f"forward+backward [{impl}]", grad, *args)
     assert bool(jnp.isfinite(gout).all())
     print(f"{'bwd/fwd ratio':>28}: {max(t_fb - t_fwd, 0.0)/t_fwd:8.2f}x "
           f"(fwd+bwd {t_fb*1e3:.1f} ms)", flush=True)

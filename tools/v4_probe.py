@@ -117,7 +117,8 @@ def main():
         in_rng = pos < counts_gj[:, :, None]
         sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
         sid = jnp.where(in_rng.reshape(-1), sid, N)
-        rows = jnp.take(packed_rows, sid, axis=0)
+        from gaussiananything_tpu.ops.rasterize_pallas import _gather_rows
+        rows = _gather_rows(packed_rows, sid)
         tab = jnp.moveaxis(rows.reshape(cap, G, CHUNK, rz.PACKED_F), -1, 0)
         return acc + jnp.sum(tab[3]) * 1e-9
 
