@@ -756,26 +756,31 @@ def rasterize_tiled_pallas_v3(
 # ---------------------------------------------------------------------------
 
 
-GATHER_KIND = "c64"   # "f32" | "c64" — A/B'd on chip (tools/v4_sweep)
+GATHER_KIND = "f32"   # "f32" | "c64" — A/B'd on chip (tools/v4_sweep)
+MXU_FWD_REDUCE = True   # fwd broadcast-column reductions on the MXU (A/B)
+MXU_BWD_REDUCE = True   # bwd structure-csum bundle on the MXU (A/B)
 
 
-def _gather_rows(packed_rows: jnp.ndarray, sid: jnp.ndarray) -> jnp.ndarray:
-    """Row gather for the step table: (N+1, F) fp32 rows → (M, F).
+def _gather_table(packed: jnp.ndarray, sid: jnp.ndarray, cap: int, G: int,
+                  chunk: int) -> jnp.ndarray:
+    """Step-table gather: field-major (F, N+1) fp32 → (F, cap, G, chunk).
 
-    TPU lowers a row gather to F strided per-element gathers and the cost
-    is SLOT-bound, not byte-bound (~3.9 ms for 393k×22 at 512², r4 probe).
-    "c64" packs adjacent fp32 field pairs into complex64 lanes so the same
-    rows move through HALF the gather slots; the pack/unpack is cheap
-    elementwise VPU work and the values are bit-exact (complex64 on TPU is
-    a carried (re, im) fp32 pair). Differentiable: the take's VJP is the
-    splat-space scatter-add either way (c64 cotangents scatter as pairs).
+    Gather cost on v5e is per-output-ROW (~10 ns/row, width-independent —
+    r5 isolated probe: 393k-row gathers cost 5.1 ms at width 22 vs 4.0 ms
+    at width 1), so the only layout lever is avoiding RELAYOUTS around the
+    gather: field-major take + free reshape measures 0.6 ms cheaper than
+    row-major take + moveaxis at the bench shape. "c64" (complex64 field-
+    pair packing, halving gather "slots") measured frame-NEUTRAL in a bare
+    loop and +7 ms inside the production view-map jit — kept only as the
+    sweep's A/B record.
     """
-    if GATHER_KIND == "c64" and packed_rows.shape[1] % 2 == 0:
-        F = packed_rows.shape[1]
-        c = jax.lax.complex(packed_rows[:, 0::2], packed_rows[:, 1::2])
-        y = jnp.take(c, sid, axis=0)                     # (M, F//2) c64
-        return jnp.stack([jnp.real(y), jnp.imag(y)], -1).reshape(-1, F)
-    return jnp.take(packed_rows, sid, axis=0)
+    if GATHER_KIND == "c64" and packed.shape[0] % 2 == 0:
+        F = packed.shape[0]
+        c = jax.lax.complex(packed[0::2, :], packed[1::2, :])
+        y = jnp.take(c, sid, axis=1)                     # (F//2, M) c64
+        out = jnp.stack([jnp.real(y), jnp.imag(y)], 1).reshape(F, -1)
+        return out.reshape(F, cap, G, chunk)
+    return jnp.take(packed, sid, axis=1).reshape(-1, cap, G, chunk)
 
 
 def _v4_binning(spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
@@ -865,27 +870,37 @@ def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                 def rsum(x):
                     return jnp.sum(x, axis=1)               # (P,)
 
-                # The 7 broadcast-column reductions Σ_k w[p,k]·f[k] are ONE
-                # (P,chunk)·(chunk,7) contraction → MXU (runs beside the
-                # VPU; fp32 via HIGHEST — default rounds MXU inputs to
-                # bf16, CLAUDE.md), replacing 7 VPU multiply+tree-reduce
-                # chains. Only the per-PIXEL-varying reductions (depth,
-                # median, distortion moments) stay on the VPU.
-                rhs = jnp.concatenate(
-                    [tab_ref[16:22, 0, j, :],
-                     jnp.ones((1, chunk), jnp.float32)], axis=0)  # (7, K)
-                feats = jax.lax.dot_general(
-                    w, rhs, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)    # (P, 7)
-                s_w = feats[:, 6]
-                out_ref[0, 1, :, j] += feats[:, 0]
-                out_ref[0, 2, :, j] += feats[:, 1]
-                out_ref[0, 3, :, j] += feats[:, 2]
+                if MXU_FWD_REDUCE:
+                    # The 7 broadcast-column reductions Σ_k w[p,k]·f[k]
+                    # are ONE (P,chunk)·(chunk,7) contraction → MXU (runs
+                    # beside the VPU; fp32 via HIGHEST — default rounds
+                    # MXU inputs to bf16, CLAUDE.md), replacing 7 VPU
+                    # multiply+tree-reduce chains. Only the per-PIXEL-
+                    # varying reductions (depth, median, distortion
+                    # moments) stay on the VPU.
+                    rhs = jnp.concatenate(
+                        [tab_ref[16:22, 0, j, :],
+                         jnp.ones((1, chunk), jnp.float32)], axis=0)
+                    feats = jax.lax.dot_general(
+                        w, rhs, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (P, 7)
+                    s_w = feats[:, 6]
+                    out_ref[0, 1, :, j] += feats[:, 0]
+                    out_ref[0, 2, :, j] += feats[:, 1]
+                    out_ref[0, 3, :, j] += feats[:, 2]
+                    out_ref[0, 8, :, j] += feats[:, 3]
+                    out_ref[0, 9, :, j] += feats[:, 4]
+                    out_ref[0, 10, :, j] += feats[:, 5]
+                else:
+                    s_w = rsum(w)
+                    out_ref[0, 1, :, j] += rsum(w * col(16))
+                    out_ref[0, 2, :, j] += rsum(w * col(17))
+                    out_ref[0, 3, :, j] += rsum(w * col(18))
+                    out_ref[0, 8, :, j] += rsum(w * col(19))
+                    out_ref[0, 9, :, j] += rsum(w * col(20))
+                    out_ref[0, 10, :, j] += rsum(w * col(21))
                 out_ref[0, 5, :, j] += rsum(w * depth)
-                out_ref[0, 8, :, j] += feats[:, 3]
-                out_ref[0, 9, :, j] += feats[:, 4]
-                out_ref[0, 10, :, j] += feats[:, 5]
 
                 t_after = trans * t_incl
                 crossed = (t_in > 0.5) & (t_after <= 0.5)
@@ -930,7 +945,7 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                        bg_color: jnp.ndarray, img_h: int, img_w: int,
                        tile: int = 16, max_per_tile: int = 2048,
                        chunk: int = 128, group: int = 16,
-                       steps_per_group: float = 3.0, full_h: int = 0,
+                       steps_per_group: float = 2.7, full_h: int = 0,
                        row0=0, big_capacity: int = 0,
                        interpret=None) -> Dict[str, jnp.ndarray]:
     """v4 fused forward (see kernel docstring). Same output dict as
@@ -999,8 +1014,8 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     packed = rz.pack_splat_render(sp)                       # (22, N)
     if dorder is not None:
         packed = jnp.take(packed, dorder, axis=1)
-    packed_rows = jnp.concatenate(
-        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1).T
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
     starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
     counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
     lane = jnp.arange(chunk, dtype=jnp.int32)
@@ -1009,8 +1024,7 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     in_rng = pos < counts_gj[:, :, None]
     sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
     sid = jnp.where(in_rng.reshape(-1), sid, N)             # dummy splat
-    rows = _gather_rows(packed_rows, sid)                   # (M, 22)
-    tab = jnp.moveaxis(rows.reshape(cap, G, chunk, rz.PACKED_F), -1, 0)
+    tab = _gather_table(packed, sid, cap, G, chunk)
 
     tx = (order % tiles_x).astype(jnp.int32)
     ty = (order // tiles_x).astype(jnp.int32)
@@ -1289,19 +1303,26 @@ def _v4_bwd_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                 # reduce chains (the backward's dominant vector cost).
                 # fp32 via HIGHEST (default rounds MXU inputs to bf16 —
                 # CLAUDE.md).
-                ones_p = jnp.ones((P, 1), jnp.float32)
-                lhs = jnp.concatenate(
-                    [ones_p, px, py, ct_r0, ct_r1, ct_r2,
-                     ct_n0, ct_n1, ct_n2], axis=1)          # (P, 9)
-                rhs = jnp.concatenate(
-                    [ct_num, ct_p0, ct_p1, ct_p2, w], axis=1)  # (P, 5K)
-                red = jax.lax.dot_general(
-                    lhs, rhs, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)    # (9, 5K)
+                if MXU_BWD_REDUCE:
+                    ones_p = jnp.ones((P, 1), jnp.float32)
+                    lhs = jnp.concatenate(
+                        [ones_p, px, py, ct_r0, ct_r1, ct_r2,
+                         ct_n0, ct_n1, ct_n2], axis=1)      # (P, 9)
+                    rhs = jnp.concatenate(
+                        [ct_num, ct_p0, ct_p1, ct_p2, w], axis=1)  # (P,5K)
+                    red = jax.lax.dot_general(
+                        lhs, rhs, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (9, 5K)
 
-                def red_at(a, p):                           # (1, chunk)
-                    return red[a:a + 1, p * chunk:(p + 1) * chunk]
+                    def red_at(a, p):                       # (1, chunk)
+                        return red[a:a + 1, p * chunk:(p + 1) * chunk]
+                else:
+                    def red_at(a, p, _tab={}):              # VPU fallback
+                        lcol = (1.0, px, py, ct_r0, ct_r1, ct_r2,
+                                ct_n0, ct_n1, ct_n2)[a]
+                        rpan = (ct_num, ct_p0, ct_p1, ct_p2, w)[p]
+                        return csum(lcol * rpan)
 
                 ct_tza = red_at(1, 0)
                 ct_tzb = red_at(2, 0)
@@ -1352,7 +1373,7 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
                              bg_color: jnp.ndarray, img_h: int, img_w: int,
                              tile: int = 16, max_per_tile: int = 2048,
                              chunk: int = 128, group: int = 16,
-                             steps_per_group: float = 3.0, full_h: int = 0,
+                             steps_per_group: float = 2.7, full_h: int = 0,
                              row0=0, big_capacity: int = 0,
                              interpret=None) -> Dict[str, jnp.ndarray]:
     """v4 fused forward + fused analytic Pallas BACKWARD (training path).
@@ -1409,9 +1430,8 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     packed = rz.pack_splat_render(sp)                       # differentiable
     if dorder is not None:
         packed = jnp.take(packed, dorder, axis=1)
-    packed_rows = jnp.concatenate(
-        [packed,
-         jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1).T   # (N+1, 22)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
     starts_gj = jnp.take(starts_s.reshape(n_groups, G), step_group, axis=0)
     counts_gj = jnp.take(counts_s.reshape(n_groups, G), step_group, axis=0)
     lane = jnp.arange(chunk, dtype=jnp.int32)
@@ -1420,11 +1440,10 @@ def rasterize_tiled_v4_train(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
     in_rng = pos < counts_gj[:, :, None]
     sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
     sid = jnp.where(in_rng.reshape(-1), sid, N)
-    # `pairs` carry depth ranks into the depth-ordered row table; the ROW
-    # gather is slot-bound (see _gather_rows — c64 packing halves the
-    # slots). Its VJP is the splat-space row scatter-add.
-    rows = _gather_rows(packed_rows, sid)                   # (M, 22)
-    tab = jnp.moveaxis(rows.reshape(cap, G, chunk, rz.PACKED_F), -1, 0)
+    # `pairs` carry depth ranks into the depth-ordered field-major table
+    # (_gather_table: per-row slot-bound on TPU). Its VJP is the
+    # splat-space scatter-add.
+    tab = _gather_table(packed, sid, cap, G, chunk)
 
     tx = (order % tiles_x).astype(jnp.int32)
     ty = (order // tiles_x).astype(jnp.int32)

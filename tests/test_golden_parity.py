@@ -54,3 +54,46 @@ def test_errors_within_tolerance(artifact):
 def test_image_hashes_recorded(artifact):
     assert len(artifact["tiled_image_sha256"]) == len(artifact["views"])
     assert all(len(h) == 64 for h in artifact["tiled_image_sha256"])
+
+
+# --- fused production path (Pallas v4 fwd + analytic bwd) -------------------
+
+ART_FUSED = os.path.join(os.path.dirname(__file__), "goldens",
+                         "parity_512_fused.json")
+
+
+@pytest.fixture(scope="module")
+def fused_artifact():
+    if not os.path.exists(ART_FUSED):
+        pytest.fail("tests/goldens/parity_512_fused.json missing — run "
+                    "`python -m tools.golden_parity_512 --impl fused` on "
+                    "the TPU (the artifact pins the TRAINING path, both "
+                    "directions — VERDICT r4 item 2)")
+    with open(ART_FUSED) as f:
+        return json.load(f)
+
+
+def test_fused_generated_on_device(fused_artifact):
+    assert fused_artifact["impl"] == "fused"
+    assert "TPU" in fused_artifact["device"].upper(), (
+        "fused parity artifact must be regenerated ON the TPU "
+        f"(got device={fused_artifact['device']!r})")
+
+
+def test_fused_forward_parity(fused_artifact):
+    assert fused_artifact["pass"] is True
+    for ch, rec in fused_artifact["channels"].items():
+        if ch == "depth_median":
+            assert rec["p999"] <= rec["tol"], (ch, rec)
+            assert rec["frac_beyond_tol"] <= 1e-4, (ch, rec)
+            assert rec["max_abs_diff"] <= 0.2, (ch, rec)
+        else:
+            assert rec["max_abs_diff"] <= rec["tol"], (ch, rec)
+    for ch, rec in fused_artifact["vs_xla"].items():
+        if ch != "depth_median":
+            assert rec["max_abs_diff"] <= rec["tol"], (ch, rec)
+
+
+def test_fused_backward_parity(fused_artifact):
+    rec = fused_artifact["grad"]
+    assert rec["max_abs_diff"] <= rec["tol"], rec

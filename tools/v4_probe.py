@@ -27,7 +27,7 @@ from gaussiananything_tpu.render import cameras
 
 R = 20
 RES = 512
-TILE, MPT, CHUNK, G, SPG = 16, 2048, 128, 16, 3.0
+TILE, MPT, CHUNK, G, SPG = 16, 2048, 128, 16, 2.7
 
 
 def loop_time(step, x0, iters=3):
@@ -117,9 +117,8 @@ def main():
         in_rng = pos < counts_gj[:, :, None]
         sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
         sid = jnp.where(in_rng.reshape(-1), sid, N)
-        from gaussiananything_tpu.ops.rasterize_pallas import _gather_rows
-        rows = _gather_rows(packed_rows, sid)
-        tab = jnp.moveaxis(rows.reshape(cap, G, CHUNK, rz.PACKED_F), -1, 0)
+        from gaussiananything_tpu.ops.rasterize_pallas import _gather_table
+        tab = _gather_table(packed_rows.T, sid, cap, G, CHUNK)
         return acc + jnp.sum(tab[3]) * 1e-9
 
     for name, fn in (("B preprocess+pack", phase_B),
