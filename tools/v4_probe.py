@@ -46,7 +46,7 @@ def loop_time(step, x0, iters=3):
 
 def main():
     import sys
-    phases = sys.argv[1] if len(sys.argv) > 1 else "ABCDS"
+    phases = sys.argv[1] if len(sys.argv) > 1 else "ABCEFDS"
     g = make_object(0, n=73728, kind="sphere")
     cam = cameras.pose_to_gs_camera(
         jnp.asarray(cameras.generate_input_camera(1.8, [(20, 45)])[0]))
@@ -75,8 +75,8 @@ def main():
         return acc + (jnp.sum(counts) + pairs[123]
                       + dorder[7]).astype(jnp.float32) * 1e-9
 
-    def phase_D(i, acc):
-        # replicate the v4 prepare stage (step maps + dense table gather)
+    def _step_prep(acc, upto: str):
+        """Shared body for the D sub-phases: upto ∈ maps|sid|full."""
         sp, pairs, starts, counts, dorder = _pairs(acc)
         tiles_x = RES // TILE
         n_tiles = tiles_x * (RES // TILE)
@@ -115,14 +115,31 @@ def main():
         pos = step_chunk[:, None, None] * CHUNK + lane[None, None, :]
         slot = starts_gj[:, :, None] + pos
         in_rng = pos < counts_gj[:, :, None]
+        if upto == "maps":
+            return acc + (jnp.sum(slot) + jnp.sum(packed_rows[3])
+                          ).astype(jnp.float32) * 1e-9
         sid = jnp.take(pairs, jnp.where(in_rng, slot, 0).reshape(-1))
         sid = jnp.where(in_rng.reshape(-1), sid, N)
+        if upto == "sid":
+            return acc + (sid[0] + jnp.sum(packed_rows[3])
+                          ).astype(jnp.float32) * 1e-9
         from gaussiananything_tpu.ops.rasterize_pallas import _gather_table
         tab = _gather_table(packed_rows.T, sid, cap, G, CHUNK)
         return acc + jnp.sum(tab[3]) * 1e-9
 
+    def phase_E(i, acc):   # C + step maps only
+        return _step_prep(acc, "maps")
+
+    def phase_F(i, acc):   # E + sid gather
+        return _step_prep(acc, "sid")
+
+    def phase_D(i, acc):   # full prepare (F + table gather)
+        return _step_prep(acc, "full")
+
     for name, fn in (("B preprocess+pack", phase_B),
                      ("C +binning(sort)", phase_C),
+                     ("E +step maps", phase_E),
+                     ("F +sid gather", phase_F),
                      ("D +step-table gather", phase_D),
                      ("A full v4 frame", phase_A)):
         if name[0] not in phases:
