@@ -59,11 +59,12 @@ if [ "$WHAT" = fm_extract ] || [ "$WHAT" = all ]; then
 fi
 
 if [ "$WHAT" = fm ] || [ "$WHAT" = all ]; then
-  echo "=== FM release run: past warmup (1600 steps, batch 256, microbatch 32) ==="
-  # conditioner hoist (train/fm_trainer.py) un-OOMs microbatch 32 → accum 8
+  echo "=== FM release run: past warmup (1600 steps, batch 256, microbatch 16) ==="
+  # microbatch 32 still OOMs on a remat temp inside the DiT even with the
+  # conditioner hoisted (r5 feasibility) — accum 16 remains the recipe
   timeout 28800 python -m gaussiananything_tpu.cli.train_flow \
     --preset stage1 --latent-dir /tmp/ga_lat512 --steps 1600 --batch 256 \
-    --accum 8 --freeze-cond --eval-every 400 --save-every 1600 \
+    --accum 16 --freeze-cond --eval-every 400 --save-every 400 \
     --logdir artifacts/fm_release_r5
 fi
 echo "=== r5 runs done ==="
