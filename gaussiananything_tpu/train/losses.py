@@ -215,8 +215,12 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, window: int = 11,
 
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     mu_a, mu_b = blur(a), blur(b)
-    va = blur(a * a) - mu_a ** 2
-    vb = blur(b * b) - mu_b ** 2
+    # clamp: blur(x²) − µ² can go slightly NEGATIVE in fp32 on flat
+    # regions (e.g. white backgrounds), collapsing the denominator and
+    # blowing SSIM past 1 (observed eval/ssim up to 11.5 on early
+    # dot-cloud renders)
+    va = jnp.maximum(blur(a * a) - mu_a ** 2, 0.0)
+    vb = jnp.maximum(blur(b * b) - mu_b ** 2, 0.0)
     cov = blur(a * b) - mu_a * mu_b
     s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
         (mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))
