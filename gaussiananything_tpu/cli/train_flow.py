@@ -209,12 +209,16 @@ def main(argv=None):
     it = data_iter(rng_np)
     batch0 = next(it)
 
-    cond_params = cond.init(rng, batch0["cond"])
-    c0 = cond.apply(cond_params, batch0["cond"])
-    init_kw = {"xyz": batch0["xyz"]} if args.stage == 2 else {}
-    dit_params = dit.init(rng, batch0["latent"],
-                          jnp.zeros((cfg.optim.batch_size,)),
-                          c0.crossattn, c0.vector, **init_kw)
+    # JITTED init at batch 1: an eager flax init is thousands of tunneled
+    # dispatches (ROUND_NOTES r4), and at batch 256 the eager DiT/ViT
+    # attention temps alone OOM the chip before training starts (r5).
+    one = lambda a: jax.tree.map(lambda x: x[:1], a)        # noqa: E731
+    cond_params = jax.jit(cond.init)(rng, one(batch0["cond"]))
+    c0 = jax.jit(cond.apply)(cond_params, one(batch0["cond"]))
+    init_kw = {"xyz": one(batch0["xyz"])} if args.stage == 2 else {}
+    dit_params = jax.jit(dit.init)(rng, one(batch0["latent"]),
+                                   jnp.zeros((1,)),
+                                   c0.crossattn, c0.vector, **init_kw)
 
     def _warm(ckpt, params):
         from gaussiananything_tpu.train.state import restore_inference_params
