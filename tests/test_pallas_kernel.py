@@ -163,3 +163,50 @@ def test_v4_vjp_gradients_match_xla():
     g2 = jax.grad(loss_xla)(g)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3,
                                atol=2e-4)
+
+
+def test_v4_binning_rank_fallback():
+    """Outside the packed-key regime (> 16382 tiles or > 131072 splats)
+    `_v4_binning` falls back to the id-payload co-sort: pairs hold SPLAT
+    IDS directly (dorder None) and the bins match rank-regime bins after
+    rank→id translation (ADVICE r4 item 1)."""
+    from gaussiananything_tpu.ops.rasterize_pallas import _v4_binning
+    g, cam = setup_scene(n=256, img=64)
+    sp = rz.preprocess_splats(g, cam["cam_view"], cam["cam_view_proj"],
+                              64, 64, cam["tanfov"])
+    n_tiles = (64 // 16) ** 2
+    # rank regime
+    p_r, s_r, c_r, dorder = _v4_binning(sp, 64, 64, 16, 128, 0, 0,
+                                        n_tiles, 256)
+    assert dorder is not None
+    # forced fallback: lie about n_tiles so the regime check fails
+    p_f, s_f, c_f, d_f = _v4_binning(sp, 64, 64, 16, 128, 0, 0,
+                                     (1 << 14), 256)
+    assert d_f is None
+    np.testing.assert_array_equal(np.asarray(c_r), np.asarray(c_f))
+    np.testing.assert_array_equal(np.asarray(s_r), np.asarray(s_f))
+    ids_from_ranks = np.asarray(dorder)[np.asarray(p_r[:-128])]
+    for t in range(n_tiles):
+        a = ids_from_ranks[int(s_r[t]):int(s_r[t]) + int(c_r[t])]
+        b = np.asarray(p_f)[int(s_f[t]):int(s_f[t]) + int(c_f[t])]
+        np.testing.assert_array_equal(a, b, err_msg=f"tile {t}")
+
+
+@pytest.mark.slow
+def test_v4_fused_row_band_sharding_interpret():
+    """impl='fused_nograd' composes with row-band sharding: two v4 band
+    renders (row0/full_h) tile together into the full-image v4 render
+    (the render_view_sharded worker contract, ADVICE r4 item 5)."""
+    from gaussiananything_tpu.ops.rasterize_pallas import rasterize_tiled_v4
+    g, cam = setup_scene(n=256, img=64)
+    bg = jnp.ones(3)
+    args = (g, cam["cam_view"], cam["cam_view_proj"], cam["tanfov"], bg)
+    full = rasterize_tiled_v4(*args, 64, 64, tile=16, max_per_tile=128,
+                              chunk=64, group=4)
+    bands = [rasterize_tiled_v4(*args, 32, 64, tile=16, max_per_tile=128,
+                                chunk=64, group=4, full_h=64, row0=r)
+             for r in (0, 32)]
+    for k in ["image", "alpha", "normal_view", "dist"]:
+        stacked = jnp.concatenate([b[k] for b in bands], axis=0)
+        np.testing.assert_allclose(np.asarray(stacked), np.asarray(full[k]),
+                                   atol=1e-5, err_msg=k)
