@@ -799,11 +799,20 @@ def _v4_binning(spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
 
 
 def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
-                    unroll: bool = True):
+                    unroll: bool = True, dma: bool = False):
+    """dma=False: the step table arrives pre-gathered as a pipelined
+    (F, 1, G, chunk) block. dma=True: the kernel DMAs each tile's chunk
+    slice out of the SEGMENT-ordered table (F, L) in HBM itself —
+    replacing the XLA sid+step-table gathers (two ~390k-row slot-bound
+    gathers + mask arithmetic) with one segment gather outside and G
+    small rectangular DMAs per step inside (all issued up front, waited
+    per tile so transfer overlaps compute); out-of-count lanes are
+    masked with the per-tile counts instead of dummy-splat zero rows."""
     P = tile * tile
     G = group
 
-    def kernel(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, tab_ref, out_ref):
+    def body(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, out_ref, read_cols,
+             rem_of):
         i = pl.program_id(0)
         g = sg_ref[i]
         c = sc_ref[i]
@@ -820,15 +829,17 @@ def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
 
         def tile_body(j):
             trans = out_ref[0, 0, :, j][:, None]            # (P, 1)
+            # OUTSIDE the saturation predicate: on the DMA path read_cols
+            # waits on tile j's transfer semaphore, and a skipped wait
+            # would leave the signal pending for the NEXT step's wait
+            col, col6 = read_cols(j)
+            rem = rem_of(j)
 
             @pl.when((jnp.max(trans) > T_EPS) & (c < n_chunks_max))
             def _():
                 t_lin = g * G + j
                 px = tx_ref[t_lin].astype(jnp.float32) * tile + lx
                 py = ty_ref[t_lin].astype(jnp.float32) * tile + ly + row0
-
-                def col(f):
-                    return tab_ref[f, 0, j, :].reshape(1, chunk)
 
                 # identical expression order to composite_chunk_grouped
                 p0 = px * col(0) + py * col(3) + col(6)     # (P, chunk)
@@ -849,12 +860,14 @@ def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                                   col(14))
                 gau = jnp.exp(-0.5 * rho) * rz._rho_window(rho)
                 alpha = jnp.minimum(col(15) * gau, rz.ALPHA_MAX)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
                 keep = (alpha >= ALPHA_EPS) & (depth > NEAR_CULL)
+                if rem is not None:     # DMA path: mask past-count lanes
+                    keep = keep & (lane < rem)
                 alpha = jnp.where(keep, alpha, 0.0)
                 depth = jnp.where(keep, depth, 0.0)
 
                 # multiplicative doubling scan: t_incl[i] = Π_{k<=i}(1-α_k)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
                 t_incl = 1.0 - alpha
                 s = 1
                 while s < chunk:
@@ -879,8 +892,7 @@ def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
                     # varying reductions (depth, median, distortion
                     # moments) stay on the VPU.
                     rhs = jnp.concatenate(
-                        [tab_ref[16:22, 0, j, :],
-                         jnp.ones((1, chunk), jnp.float32)], axis=0)
+                        [col6(), jnp.ones((1, chunk), jnp.float32)], axis=0)
                     feats = jax.lax.dot_general(
                         w, rhs, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -932,7 +944,57 @@ def _make_v4_kernel(tile: int, chunk: int, group: int, n_chunks_max: int,
             jax.lax.fori_loop(0, G, lambda j, _: (tile_body(j), None)[1],
                               None)
 
-    return kernel
+    if not dma:
+        def kernel(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, tab_ref,
+                   out_ref):
+            def read_cols(j):
+                def col(f):
+                    return tab_ref[f, 0, j, :].reshape(1, chunk)
+
+                return col, lambda: tab_ref[16:22, 0, j, :]
+
+            body(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, out_ref,
+                 read_cols, lambda j: None)
+
+        return kernel
+
+    def dma_kernel(sg_ref, sc_ref, tx_ref, ty_ref, st_ref, ct_ref, r0_ref,
+                   seg_ref, out_ref, buf, sems):
+        i = pl.program_id(0)
+        g = sg_ref[i]
+        c = sc_ref[i]
+
+        def slice_dma(j):
+            t_lin = g * G + j
+            off = st_ref[t_lin] + c * chunk
+            return pltpu.make_async_copy(
+                seg_ref.at[:, pl.ds(off, chunk)], buf.at[j], sems.at[j])
+
+        for j in range(G):          # issue everything up front
+            slice_dma(j).start()
+
+        def read_cols(j):
+            def col(f):
+                return buf[j, f, :].reshape(1, chunk)
+
+            return col, lambda: buf[j, 16:22, :]
+
+        def rem_of(j):
+            t_lin = g * G + j
+            return ct_ref[t_lin] - c * chunk        # (scalar) vs lane iota
+
+        def waiting_body(sg2, sc2, tx2, ty2, r02, out2, rc, rm):
+            # wait for tile j's transfer just before computing it
+            def rc_wait(j):
+                slice_dma(j).wait()
+                return rc(j)
+
+            body(sg2, sc2, tx2, ty2, r02, out2, rc_wait, rm)
+
+        waiting_body(sg_ref, sc_ref, tx_ref, ty_ref, r0_ref, out_ref,
+                     read_cols, rem_of)
+
+    return dma_kernel
 
 
 @functools.partial(
@@ -1071,6 +1133,123 @@ def rasterize_tiled_v4(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
         "normal_view": o[..., 8:11],
     }
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_h", "img_w", "tile", "max_per_tile", "chunk",
+                     "group", "steps_per_group", "full_h", "big_capacity",
+                     "interpret"))
+def rasterize_tiled_v4_dma(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
+                           cam_view_proj: jnp.ndarray, tanfov,
+                           bg_color: jnp.ndarray, img_h: int, img_w: int,
+                           tile: int = 16, max_per_tile: int = 2048,
+                           chunk: int = 128, group: int = 16,
+                           steps_per_group: float = 2.7, full_h: int = 0,
+                           row0=0, big_capacity: int = 0,
+                           interpret=None) -> Dict[str, jnp.ndarray]:
+    """v4 forward with the step table fed by IN-KERNEL DMA slices.
+
+    XLA builds ONE segment-ordered table (F, L) = packed[:, pairs]; the
+    kernel DMAs each (tile, chunk) slice with scalar-prefetched dynamic
+    offsets (starts_s[t] + c·chunk) and masks past-count lanes against
+    counts_s. Replaces the 2-stage sid + step-table gathers (~390k output
+    rows each, slot-bound — BENCH_NOTES r5) and all the step-slot mask
+    arithmetic. Output-identical to `rasterize_tiled_v4` up to the usual
+    last-ulp reassociation. Non-differentiable (bench/inference A/B)."""
+    assert img_h % tile == 0 and img_w % tile == 0
+    assert max_per_tile % chunk == 0
+    sp = rz.preprocess_splats(gaussians, cam_view, cam_view_proj,
+                              full_h or img_h, img_w, tanfov)
+    spx = jax.tree.map(jax.lax.stop_gradient, sp)
+    tiles_x = img_w // tile
+    tiles_y = img_h // tile
+    n_tiles = tiles_x * tiles_y
+    N = gaussians.shape[0]
+    pairs, starts, counts, dorder = _v4_binning(
+        spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
+        n_tiles, N)
+
+    P = tile * tile
+    if n_tiles % group != 0:
+        import math
+        group = math.gcd(group, n_tiles)
+    G = group
+    n_groups = n_tiles // G
+    n_chunks_max = max_per_tile // chunk
+
+    order = jnp.argsort(-counts)
+    counts_s = jnp.take(counts, order)
+    starts_s = jnp.take(starts, order)
+    gmax = counts_s[::G]
+    n_act = jnp.clip((gmax + chunk - 1) // chunk, 1, n_chunks_max)
+    cap = int(n_groups * steps_per_group)
+    extra = n_act - 1
+    cum_prev = jnp.cumsum(extra) - extra
+    allowed = jnp.clip(cap - n_groups - cum_prev, 0, extra)
+    n_act2 = 1 + allowed
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(n_act2).astype(jnp.int32)])
+    total = offs[-1]
+    mark = jnp.zeros((cap,), jnp.int32).at[offs[1:-1]].add(1, mode="drop")
+    step_group = jnp.cumsum(mark)
+    step_chunk = (jnp.arange(cap, dtype=jnp.int32)
+                  - jnp.take(offs, step_group))
+    live = jnp.arange(cap, dtype=jnp.int32) < total
+    step_group = jnp.where(live, step_group, n_groups - 1)
+    step_chunk = jnp.where(live, step_chunk, n_chunks_max - 1)
+
+    packed = rz.pack_splat_render(sp)                       # (22, N)
+    if dorder is not None:
+        packed = jnp.take(packed, dorder, axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
+    # the ONE gather: segment-ordered table; pairs is already padded with
+    # max_per_tile trailing slots so offset+chunk never over-runs
+    seg_tab = jnp.take(packed, pairs, axis=1)               # (F, L)
+
+    tx = (order % tiles_x).astype(jnp.int32)
+    ty = (order // tiles_x).astype(jnp.int32)
+    r0 = jnp.asarray(row0, jnp.int32).reshape(1)
+
+    kernel = _make_v4_kernel(tile, chunk, G, n_chunks_max, dma=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(cap,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 16, P, G),
+            lambda i, sg, sc, tx, ty, st, ct, r0: (sg[i], 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((G, rz.PACKED_F, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((G,))],
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups, 16, P, G), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(step_group, step_chunk, tx, ty,
+      starts_s.astype(jnp.int32), counts_s.astype(jnp.int32), r0, seg_tab)
+
+    o = jnp.transpose(out, (0, 3, 2, 1)).reshape(n_tiles, P, 16)
+    inv = jnp.argsort(order)
+    o = jnp.take(o, inv, axis=0)
+    o = o.reshape(tiles_y, tiles_x, tile, tile, 16)
+    o = jnp.moveaxis(o, 2, 1).reshape(img_h, img_w, 16)
+
+    trans = o[..., 0]
+    return {
+        "image": o[..., 1:4] + trans[..., None] * bg_color,
+        "alpha": o[..., 4],
+        "depth_expected": o[..., 5],
+        "depth_median": o[..., 6],
+        "dist": o[..., 7],
+        "normal_view": o[..., 8:11],
+    }
 
 
 # ---------------------------------------------------------------------------
