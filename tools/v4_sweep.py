@@ -76,31 +76,34 @@ def main():
     # c128, 4.30-4.36 at c64 — budgets sit ~6% above need. Gather cost is
     # per-table-ROW (~10 ns/row, r5 isolated probe), so the c64 rows
     # (util 0.80 vs 0.69) carry a ~23% smaller table.
-    configs = ((16, 128, 3.0), (16, 128, 2.7), (16, 64, 4.6), (8, 64, 4.6),
-               (8, 128, 2.7), (16, 256, 1.7))
+    configs = [(16, 128, 2.7, False), (16, 128, 2.7, True),
+               (8, 128, 2.7, True), (16, 256, 1.7, True)]
     if "--quick" in sys.argv:
         configs = configs[:1]
+    if "--dma-only" in sys.argv:
+        configs = [c for c in configs if c[3]]
     all_ok = True
-    for (G, chunk, spg) in configs:
-        def step(i, acc, G=G, chunk=chunk, spg=spg):
-            out = rp.rasterize_tiled_v4(
-                g + acc * 1e-20, cv, cvp, tf, bg, RES, RES, tile=16,
-                max_per_tile=2048, chunk=chunk, group=G,
-                steps_per_group=spg)
+    for (G, chunk, spg, dma) in configs:
+        fn = rp.rasterize_tiled_v4_dma if dma else rp.rasterize_tiled_v4
+
+        def step(i, acc, G=G, chunk=chunk, spg=spg, fn=fn):
+            out = fn(g + acc * 1e-20, cv, cvp, tf, bg, RES, RES, tile=16,
+                     max_per_tile=2048, chunk=chunk, group=G,
+                     steps_per_group=spg)
             return acc + jnp.sum(out["image"]) * 1e-9
 
         t0 = time.perf_counter()
-        out = rp.rasterize_tiled_v4(g, cv, cvp, tf, bg, RES, RES, tile=16,
-                                    max_per_tile=2048, chunk=chunk, group=G,
-                                    steps_per_group=spg)
+        out = fn(g, cv, cvp, tf, bg, RES, RES, tile=16,
+                 max_per_tile=2048, chunk=chunk, group=G,
+                 steps_per_group=spg)
         jax.block_until_ready(out["image"])
         compile_s = time.perf_counter() - t0
         ok, worst = check(out, ref)
         all_ok &= ok
         ms = loop_time(step, jnp.float32(0))
         print(f"G={G:2d} chunk={chunk:3d} spg={spg:3.1f} "
-              f"gather={rp.GATHER_KIND}: {ms:7.3f} ms "
-              f"({RES*RES/ms*1e-3:.1f} M rays/s)  "
+              f"{'DMA' if dma else 'tab'} gather={rp.GATHER_KIND}: "
+              f"{ms:7.3f} ms ({RES*RES/ms*1e-3:.1f} M rays/s)  "
               f"{'OK' if ok else 'FAIL' + worst}  compile {compile_s:.0f}s",
               flush=True)
     print("SWEEP " + ("PASS" if all_ok else "FAIL"), flush=True)
