@@ -783,12 +783,17 @@ def _gather_table(packed: jnp.ndarray, sid: jnp.ndarray, cap: int, G: int,
     return jnp.take(packed, sid, axis=1).reshape(-1, cap, G, chunk)
 
 
+RANK_PAIRS = True    # key-only rank sort vs id co-sort — A/B (the rank
+#                      regime trades a +payload sort for a (22, N) table
+#                      permute gather; both measured near-neutral)
+
+
 def _v4_binning(spx, img_h, img_w, tile, max_per_tile, row0, big_capacity,
                 n_tiles, N):
     """build_tile_pairs with the packed-key rank regime when it applies;
     falls back to the id-payload co-sort for huge scenes (N > 131072 or
     > 16382 tiles), where `pairs` already hold splat ids (dorder=None)."""
-    if n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17):
+    if RANK_PAIRS and n_tiles + 1 <= (1 << 14) - 1 and N <= (1 << 17):
         return rz.build_tile_pairs(
             spx, img_h, img_w, tile, max_per_tile, row0=row0,
             big_capacity=big_capacity, rank_pairs=True)
