@@ -159,14 +159,16 @@ def main():
     # -- full forward --------------------------------------------------------
     impl = sys.argv[sys.argv.index("--impl") + 1] \
         if "--impl" in sys.argv else "xla"
-    if impl == "fused" or impl == "fused_nograd":
+    if impl in ("fused", "fused_nograd", "fused_dma"):
         from gaussiananything_tpu.ops.rasterize_pallas import (
-            rasterize_tiled_v4, rasterize_tiled_v4_train)
+            rasterize_tiled_v4, rasterize_tiled_v4_dma,
+            rasterize_tiled_v4_train)
         v4_chunk = _arg("--chunk", 128)   # v4 optimum (r4 sweep)
 
         def render_impl(*a):
-            fn = (rasterize_tiled_v4_train if impl == "fused"
-                  else rasterize_tiled_v4)
+            fn = {"fused": rasterize_tiled_v4_train,
+                  "fused_nograd": rasterize_tiled_v4,
+                  "fused_dma": rasterize_tiled_v4_dma}[impl]
             return fn(*a, bg, res, res, tile=tile, max_per_tile=mpt,
                       chunk=v4_chunk, group=group)
     else:
@@ -195,7 +197,7 @@ def main():
             print(f"{'rays/s':>28}: {res*res/t/1e6:8.2f} M", flush=True)
 
     # -- forward + backward ---------------------------------------------------
-    if impl == "fused_nograd":
+    if impl in ("fused_nograd", "fused_dma"):
         print("(fwd+bwd skipped: fused_nograd has no VJP)", flush=True)
         return
 
