@@ -46,6 +46,10 @@ def main(argv=None):
                         "cli.import_release, e.g. dinov2)")
     p.add_argument("--dit-ckpt", default=None,
                    help="warm-start DiT weights (npz or orbax)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir prefix (the --logdir/ckpt written "
+                        "by save-every): restores DiT + conditioner "
+                        "states incl. step/opt/EMA and continues")
     p.add_argument("--eval-every", type=int, default=0,
                    help="sample with EMA weights every N steps and export "
                         "artifacts + geometry metrics (eval_cldm role, "
@@ -255,6 +259,12 @@ def main(argv=None):
     import optax
     cond_tx = optax.identity() if args.freeze_cond else tx
     cstate = TrainState.create(replicate(mesh, cond_params), cond_tx)
+    if args.resume:
+        from gaussiananything_tpu.train.state import restore_checkpoint
+        state = restore_checkpoint(args.resume, state)
+        if os.path.isdir(args.resume + "_cond"):
+            cstate = restore_checkpoint(args.resume + "_cond", cstate)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     sampler = None
 
@@ -284,7 +294,7 @@ def main(argv=None):
             logger.logkv("eval_latent_std", float(jnp.std(out)))
             logger.logkv("eval_latent_absmax", float(jnp.abs(out).max()))
 
-    for i in range(cfg.optim.total_steps):
+    for i in range(int(state.step), cfg.optim.total_steps):
         batch = shard_batch(mesh, next(it))
         state, cstate, logs = step_fn(state, cstate, batch,
                                       jax.random.fold_in(rng, i))
