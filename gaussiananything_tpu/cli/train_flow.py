@@ -260,10 +260,24 @@ def main(argv=None):
     cond_tx = optax.identity() if args.freeze_cond else tx
     cstate = TrainState.create(replicate(mesh, cond_params), cond_tx)
     if args.resume:
+        import gc
+
         from gaussiananything_tpu.train.state import restore_checkpoint
-        state = restore_checkpoint(args.resume, state)
-        if os.path.isdir(args.resume + "_cond"):
-            cstate = restore_checkpoint(args.resume + "_cond", cstate)
+
+        def abstract(s):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), s)
+
+        # restore against ABSTRACT templates with the live buffers dropped
+        # first: restoring into a second concrete DiT-L state transiently
+        # doubles ~13 GB of params/opt/EMA and OOMs the chip
+        tpl, ctpl = abstract(state), abstract(cstate)
+        has_cond = os.path.isdir(args.resume + "_cond")
+        state = cstate = dit_params = cond_params = c0 = None
+        gc.collect()
+        state = restore_checkpoint(args.resume, tpl)
+        assert has_cond, f"{args.resume}_cond missing"
+        cstate = restore_checkpoint(args.resume + "_cond", ctpl)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
     sampler = None
