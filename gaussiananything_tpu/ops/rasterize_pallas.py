@@ -1210,7 +1210,11 @@ def rasterize_tiled_v4_dma(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
         [packed, jnp.zeros((rz.PACKED_F, 1), jnp.float32)], axis=1)
     # the ONE gather: segment-ordered table; pairs is already padded with
     # max_per_tile trailing slots so offset+chunk never over-runs
-    seg_tab = jnp.take(packed, pairs, axis=1)               # (F, L)
+    # field dim padded 22 → 24: Mosaic requires DMA slice sublane dims
+    # aligned to the (8, 128) tiling
+    packed24 = jnp.concatenate(
+        [packed, jnp.zeros((2, packed.shape[1]), jnp.float32)], axis=0)
+    seg_tab = jnp.take(packed24, pairs, axis=1)             # (24, L)
 
     tx = (order % tiles_x).astype(jnp.int32)
     ty = (order // tiles_x).astype(jnp.int32)
@@ -1224,7 +1228,7 @@ def rasterize_tiled_v4_dma(gaussians: jnp.ndarray, cam_view: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (1, 16, P, G),
             lambda i, sg, sc, tx, ty, st, ct, r0: (sg[i], 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((G, rz.PACKED_F, chunk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G, 24, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((G,))],
     )
     if interpret is None:
