@@ -76,12 +76,15 @@ def main():
     # c128, 4.30-4.36 at c64 — budgets sit ~6% above need. Gather cost is
     # per-table-ROW (~10 ns/row, r5 isolated probe), so the c64 rows
     # (util 0.80 vs 0.69) carry a ~23% smaller table.
-    configs = [(16, 128, 2.7, False), (16, 128, 2.7, True),
-               (8, 128, 2.7, True), (16, 256, 1.7, True)]
+    # DMA rows are OFF by default: Mosaic rejects the unaligned segment
+    # slices ("tile index in dimension 1 divisible by (128)" — arbitrary
+    # segment starts can't be DMA offsets; see BENCH_NOTES r5). Kept
+    # behind --dma-only for when an aligned-layout rework lands.
+    configs = [(16, 128, 2.7, False), (16, 128, 3.0, False)]
+    if "--dma-only" in sys.argv:
+        configs = [(16, 128, 2.7, True)]
     if "--quick" in sys.argv:
         configs = configs[:1]
-    if "--dma-only" in sys.argv:
-        configs = [c for c in configs if c[3]]
     all_ok = True
     for (G, chunk, spg, dma) in configs:
         fn = rp.rasterize_tiled_v4_dma if dma else rp.rasterize_tiled_v4
